@@ -1,0 +1,237 @@
+"""Configuration tree for the TPU-native LiDAR SLAM engine.
+
+One dataclass tree, YAML-loadable, mirroring the reference's five ROS
+parameter namespaces (``common/``, ``feature_extraction/``,
+``optimization/``, ``mapping/``, ``loop_closure/`` — reference:
+``config/performance_precision.yaml:1-56``) plus a TPU-specific
+``capacity`` namespace that fixes the static shapes (padded batch sizes,
+map capacities) the XLA compilation model requires.
+
+Both shipped profiles are reproduced as constructors:
+`precision_profile()` and `realtime_profile()` (reference:
+``config/performance_precision.yaml`` vs ``config/performance_realtime.yaml``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class CommonConfig:
+    # reference: config/performance_precision.yaml:1-8
+    lidar_type: str = "livox"
+    maximum_parallel_thread: int = 1
+    odom_mode: int = 1
+    if_motion_deblur: int = 0
+    if_save_to_pcd_files: int = 0
+    if_update_mean_and_cov_incrementally: int = 1
+    threshold_cell_revisit: int = 2000
+    # reference: launch/rosbag_mid100.launch:6 (common/piecewise_number)
+    piecewise_number: int = 1
+    if_verbose_screen_printf: int = 1
+
+
+@dataclass(frozen=True)
+class FeatureExtractionConfig:
+    # reference: config/performance_precision.yaml:10-18
+    scan_line: int = 64
+    mapping_line_resolution: float = 0.1
+    mapping_plane_resolution: float = 0.4
+    livox_min_sigma: float = 7e-4
+    livox_min_dis: float = 0.1
+    corner_curvature: float = 0.1
+    surface_curvature: float = 0.005
+    minimum_view_angle: float = 5.0
+    # Livox hardware constants (reference: source/livox_feature_extractor.hpp:143-145)
+    max_fov_deg: float = 17.0
+    time_internal_pts: float = 1.0e-5
+    # Petal-split minimum sample gap (reference: livox_feature_extractor.hpp:545,555)
+    split_min_gap: int = 50
+    # Depth gates on emitted features (reference: livox_feature_extractor.hpp:242,252)
+    corner_max_depth: float = 30.0
+    surface_max_depth: float = 1000.0
+
+
+@dataclass(frozen=True)
+class OptimizationConfig:
+    # reference: config/performance_precision.yaml:20-26
+    minimum_icp_R_diff: float = 0.01
+    minimum_icp_T_diff: float = 0.01
+    maximum_residual_blocks: int = 200
+    max_allow_final_cost: float = 2.0
+    icp_maximum_iteration: int = 15
+    ceres_maximum_iteration: int = 50
+    # Inner-solver schedule (reference: point_cloud_registration.hpp:91,97-98)
+    prerun_iterations: int = 2
+    inlier_dis: float = 0.02
+    inlier_ratio: float = 0.80
+    huber_delta: float = 0.1           # reference: point_cloud_registration.hpp:220
+    line_search_num: int = 5
+    plane_search_num: int = 5
+    maximum_dis_line_for_match: float = 2.0    # squared-distance gate, :65
+    maximum_dis_plane_for_match: float = 50.0  # squared-distance gate, :64
+    # LM damping for the GN solver that replaces Ceres.
+    lm_init_lambda: float = 1e-4
+    # If > 0, randomly subsample residuals to this budget like the
+    # reference; if 0, keep all residuals (the TPU-native default — the
+    # batched solver is not residual-count bound).
+    subsample_residuals: int = 0
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    # reference: config/performance_precision.yaml:28-41
+    matching_mode: int = 0
+    input_downsample_mode: int = 1
+    init_accumulate_frames: int = 50
+    maximum_mapping_buffer: int = 20000000
+    maximum_histroy_buffer: int = 400
+    maximum_in_fov_angle: float = 45.0
+    maximum_pointcloud_delay_time: float = 0.1
+    maximum_search_range_corner: float = 100.0
+    maximum_search_range_surface: float = 100.0
+    surround_pointcloud_resolution: float = 0.30
+    max_allow_incre_R: float = 20.0
+    max_allow_incre_T: float = 0.3
+    max_allow_final_cost: float = 2.0
+    # history admission gates (reference: laser_mapping.hpp:80-84)
+    history_add_t_step: float = 0.0
+    history_add_angle_step: float = 0.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    # reference: config/performance_precision.yaml:43-56
+    if_enable_loop_closure: int = 0
+    if_dump_keyframe_data: int = 0
+    scans_of_each_keyframe: int = 300
+    scans_between_two_keyframe: int = 100
+    minimum_keyframe_differen: int = 200
+    minimum_similarity_linear: float = 0.65
+    minimum_similarity_planar: float = 0.94
+    map_alignment_resolution: float = 0.1
+    maximum_keyframe_in_waiting_list: int = 10
+    map_alignment_maximum_icp_iteration: int = 5
+    map_alignment_inlier_threshold: float = 0.20
+    map_alignment_if_dump_matching_result: int = 0
+    scene_alignment_maximum_residual_block: int = 3000
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static shapes for the XLA programs (TPU-specific; no reference
+    analogue — the reference uses dynamically sized std::vector/PCL
+    clouds, which have no jit-compatible equivalent)."""
+    max_raw_points: int = 16384        # padded raw points per frame
+    max_splits: int = 512              # petal turning-point candidates
+    max_corner: int = 1024             # padded corner features per frame
+    max_surface: int = 4096            # padded surface features per frame
+    map_corner_capacity: int = 32768   # matching-buffer corner points
+    map_surf_capacity: int = 131072    # matching-buffer surface points
+    cell_capacity: int = 8192          # cell-map hash table slots
+    cell_point_capacity: int = 32      # points retained per cell for stats
+    knn_query_tile: int = 512          # kNN query chunking
+    history_window: int = 64           # registered frames kept for matching
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    common: CommonConfig = field(default_factory=CommonConfig)
+    feature_extraction: FeatureExtractionConfig = field(default_factory=FeatureExtractionConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+
+    def replace(self, **sections) -> "SlamConfig":
+        """Return a copy with whole sections or nested fields replaced.
+
+        `cfg.replace(optimization={'icp_maximum_iteration': 10})` merges
+        into the existing section; passing a dataclass replaces it.
+        """
+        updates: Dict[str, Any] = {}
+        for name, val in sections.items():
+            cur = getattr(self, name)
+            if isinstance(val, dict):
+                updates[name] = dataclasses.replace(cur, **val)
+            else:
+                updates[name] = val
+        return dataclasses.replace(self, **updates)
+
+
+_SECTION_TYPES = {
+    "common": CommonConfig,
+    "feature_extraction": FeatureExtractionConfig,
+    "optimization": OptimizationConfig,
+    "mapping": MappingConfig,
+    "loop_closure": LoopClosureConfig,
+    "capacity": CapacityConfig,
+}
+
+
+def from_dict(d: Dict[str, Any], base: Optional[SlamConfig] = None) -> SlamConfig:
+    """Build a SlamConfig from a nested dict (e.g. parsed YAML).
+
+    Unknown keys inside a known section are ignored with the same
+    spirit as ROS param lookup defaults (reference:
+    ``laser_mapping.hpp:648-655`` logs defaults for missing params);
+    unknown *sections* raise, to catch typos.
+    """
+    cfg = base or SlamConfig()
+    updates: Dict[str, Any] = {}
+    for section, values in d.items():
+        if section not in _SECTION_TYPES:
+            raise KeyError(f"Unknown config section: {section!r}")
+        cls = _SECTION_TYPES[section]
+        known = {f.name for f in dataclasses.fields(cls)}
+        filtered = {k: v for k, v in (values or {}).items() if k in known}
+        updates[section] = dataclasses.replace(getattr(cfg, section), **filtered)
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_yaml(path: str, base: Optional[SlamConfig] = None) -> SlamConfig:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return from_dict(d, base)
+
+
+def precision_profile() -> SlamConfig:
+    """reference: config/performance_precision.yaml"""
+    return SlamConfig()
+
+
+def realtime_profile() -> SlamConfig:
+    """reference: config/performance_realtime.yaml"""
+    return SlamConfig().replace(
+        common={
+            "maximum_parallel_thread": 3,
+            "if_update_mean_and_cov_incrementally": 0,
+            "threshold_cell_revisit": 100000,
+        },
+        feature_extraction={
+            "mapping_line_resolution": 0.2,
+            "mapping_plane_resolution": 0.6,
+        },
+        optimization={"maximum_residual_blocks": 150},
+        mapping={
+            "maximum_mapping_buffer": 50,
+            "maximum_histroy_buffer": 200,
+            "maximum_pointcloud_delay_time": 1.0,
+            "surround_pointcloud_resolution": 0.5,
+        },
+    )
+
+
+def largescale_profile() -> SlamConfig:
+    """reference: launch/rosbag_largescale.launch:9-10 overrides on the
+    realtime profile (line/plane resolution 0.05 / 1.2 m)."""
+    return realtime_profile().replace(
+        feature_extraction={
+            "mapping_line_resolution": 0.05,
+            "mapping_plane_resolution": 1.2,
+        },
+    )
