@@ -1,0 +1,86 @@
+"""Voxel-grid downsampling as a jit-compatible sort + segment-mean.
+
+Replaces the reference's pervasive ``pcl::VoxelGrid`` filters (applied
+at the source — ``laser_feature_extractor.hpp:372-384`` — on ICP inputs
+— ``laser_mapping.hpp:1367-1378`` — and on the gathered matching buffer
+— ``laser_mapping.hpp:533-537``).  Like PCL, the output point of each
+occupied voxel is the centroid of the points inside it (all channels,
+so the time channel is averaged too).
+
+TPU-native design: voxel coordinates are quantized to a two-word
+integer key (int32 has no room for 3 × large axes; x64 is off on TPU),
+lexicographically ordered with two stable argsorts, reduced with
+``segment_sum``.  Everything is fixed-shape; masked-out inputs sort to
+the back and never contribute.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import PointBatch
+
+# Per-axis voxel coordinate budget: 2^15 cells per axis around the
+# origin.  At the finest shipped leaf (0.05 m, largescale profile) this
+# covers ±819 m of world; at 0.4 m, ±6.5 km.
+_AXIS_BITS = 15
+_AXIS_RANGE = 1 << _AXIS_BITS
+_AXIS_OFFSET = _AXIS_RANGE // 2
+
+
+def voxel_keys(xyz: jax.Array, leaf: float | jax.Array):
+    """Quantize points to (hi, lo) int32 voxel key words."""
+    coords = jnp.floor(xyz / leaf).astype(jnp.int32) + _AXIS_OFFSET
+    coords = jnp.clip(coords, 0, _AXIS_RANGE - 1)
+    hi = coords[..., 0]
+    lo = coords[..., 1] * _AXIS_RANGE + coords[..., 2]
+    return hi, lo
+
+
+def _lex_sort_two_words(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Permutation sorting rows lexicographically by (hi, lo)."""
+    order1 = jnp.argsort(lo, stable=True)
+    order2 = jnp.argsort(hi[order1], stable=True)
+    return order1[order2]
+
+
+def voxel_downsample(batch: PointBatch, leaf: float, capacity: int | None = None) -> PointBatch:
+    """Centroid voxel filter.  Output capacity defaults to the input's.
+
+    If more voxels are occupied than `capacity`, the lexicographically
+    smallest keys win (deterministic).
+    """
+    n = batch.capacity
+    capacity = capacity or n
+    hi, lo = voxel_keys(batch.xyz, leaf)
+    # invalid points sort to the very back
+    hi = jnp.where(batch.mask, hi, jnp.int32(1 << 30))
+
+    perm = _lex_sort_two_words(hi, lo)
+    hi_s, lo_s = hi[perm], lo[perm]
+    xyz_s = batch.xyz[perm]
+    time_s = batch.time[perm]
+    valid_s = batch.mask[perm]
+
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            jnp.logical_or(hi_s[1:] != hi_s[:-1], lo_s[1:] != lo_s[:-1]),
+        ]
+    )
+    first = jnp.logical_and(new_seg, valid_s)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # -1 until first valid
+    contrib = jnp.logical_and(valid_s, jnp.logical_and(seg >= 0, seg < capacity))
+    seg_c = jnp.clip(seg, 0, capacity - 1)
+    w = contrib.astype(batch.xyz.dtype)
+
+    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg_c, num_segments=capacity)
+    tsum = jax.ops.segment_sum(time_s * w, seg_c, num_segments=capacity)
+    cnts = jax.ops.segment_sum(w, seg_c, num_segments=capacity)
+
+    denom = jnp.maximum(cnts, 1.0)
+    return PointBatch(
+        xyz=sums / denom[:, None],
+        time=tsum / denom,
+        mask=cnts > 0,
+    )
