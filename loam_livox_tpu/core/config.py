@@ -72,8 +72,20 @@ class OptimizationConfig:
     plane_search_num: int = 5
     maximum_dis_line_for_match: float = 2.0    # squared-distance gate, :65
     maximum_dis_plane_for_match: float = 50.0  # squared-distance gate, :64
+    # Effective degeneracy-rejection / bound values.  NOTE: the
+    # reference *reads* these from ``optimization/max_allow_incre_*``
+    # (laser_mapping.hpp:682-684) but the shipped YAMLs define them only
+    # under ``mapping/`` — so the reference actually runs on these
+    # defaults (4.0 deg/frame gate, ±2.0 m translation bounds,
+    # laser_mapping.hpp:152-153); the mapping/ YAML values are dead.
+    max_allow_incre_R: float = 200.0 / 50.0
+    max_allow_incre_T: float = 100.0 / 50.0
     # LM damping for the GN solver that replaces Ceres.
     lm_init_lambda: float = 1e-4
+    # LM iterations used for the post-prune full solve (the reference's
+    # ceres_maximum_iteration=50 is a cap; Ceres converges in a handful
+    # of iterations on this 6-DoF problem).
+    full_iterations: int = 8
     # If > 0, randomly subsample residuals to this budget like the
     # reference; if 0, keep all residuals (the TPU-native default — the
     # batched solver is not residual-count bound).

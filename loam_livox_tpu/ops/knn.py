@@ -44,8 +44,13 @@ def knn(
     """
     q = query_xyz.astype(jnp.float32)
     m = ref_xyz.shape[0]
-    if m % ref_tile != 0:
-        raise ValueError(f"ref count {m} not a multiple of ref_tile {ref_tile}")
+    if m <= ref_tile:
+        ref_tile = m
+    elif m % ref_tile != 0:
+        pad = ref_tile - m % ref_tile
+        ref_xyz = jnp.pad(ref_xyz, ((0, pad), (0, 0)))
+        ref_mask = jnp.pad(ref_mask, (0, pad))
+        m += pad
     n_tiles = m // ref_tile
     nq = q.shape[0]
 

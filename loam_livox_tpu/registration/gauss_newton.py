@@ -1,0 +1,168 @@
+"""Levenberg–Marquardt solver on SE(3) — the Ceres replacement.
+
+The reference solves each ICP iteration with Ceres autodiff + Huber loss
++ EigenQuaternionParameterization + translation box bounds, in a
+two-phase schedule: a 2-iteration "prerun", an inlier-quantile outlier
+prune, then the full solve
+(reference: ``source/point_cloud_registration.hpp:460-508``).
+
+TPU-native equivalent: residuals and their 3×6 Jacobians w.r.t. the
+SE(3) tangent increment are evaluated for the whole batch with
+``jax.jacfwd`` (6 JVPs of one fused XLA program), reduced to a 6×6
+normal system (a psum-reducible reduction — see
+``loam_livox_tpu.parallel``), Jacobi-preconditioned and solved in
+float32.  The quaternion update is left-multiplicative
+(q ← Exp(δ) ⊗ q), matching Ceres' quaternion manifold; translation is
+box-clipped to ±max_allow_incre_T like Ceres' parameter bounds
+(reference :143-151).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import se3
+from ..core.config import OptimizationConfig
+from ..ops.masked import masked_quantile_l1
+from .residuals import huber_rho, huber_weight
+
+# f(q, t) -> (residuals (N, 3), block_mask (N,))
+ResidualFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+class SolveInfo(NamedTuple):
+    initial_cost: jax.Array
+    final_cost: jax.Array
+    inlier_threshold: jax.Array
+    n_blocks: jax.Array
+
+
+def _cost(r: jax.Array, mask: jax.Array, delta: float) -> jax.Array:
+    """Ceres-style total cost: 0.5 Σ ρ(‖r_block‖²) over valid blocks."""
+    s = jnp.sum(r * r, axis=-1)
+    return 0.5 * jnp.sum(jnp.where(mask, huber_rho(s, delta), 0.0))
+
+
+def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float):
+    """Huber-weighted J^T J (6×6) and J^T r (6,) at the current point."""
+
+    def res_of_delta(dd):
+        q_new = se3.quat_normalize(
+            se3.quat_multiply(se3.quat_exp(dd[:3]), q))
+        t_new = t + dd[3:]
+        return f(q_new, t_new)[0]
+
+    zero = jnp.zeros(6, q.dtype)
+    r0, mask = f(q, t)
+    J = jax.jacfwd(res_of_delta)(zero)          # (N, 3, 6)
+    s = jnp.sum(r0 * r0, axis=-1)
+    w = jnp.where(mask, huber_weight(s, delta), 0.0)
+    sw = jnp.sqrt(w)
+    rw = r0 * sw[:, None]
+    Jw = J * sw[:, None, None]
+    H = jnp.einsum("nij,nik->jk", Jw, Jw, precision=lax.Precision.HIGHEST)
+    g = jnp.einsum("nij,ni->j", Jw, rw, precision=lax.Precision.HIGHEST)
+    return H, g, r0, mask
+
+
+def _solve_damped(H: jax.Array, g: jax.Array, lam: jax.Array) -> jax.Array:
+    """Jacobi-preconditioned damped solve: (H + λ·diag(H) + εI) δ = −g."""
+    damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+    d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(damped), 1e-12))
+    Hs = damped * d[:, None] * d[None, :]
+    gs = g * d
+    y = jnp.linalg.solve(Hs, -gs)
+    return y * d
+
+
+class LMState(NamedTuple):
+    q: jax.Array
+    t: jax.Array
+    lam: jax.Array
+    cost: jax.Array
+
+
+def lm_solve(
+    f: ResidualFn,
+    q0: jax.Array,
+    t0: jax.Array,
+    iterations: int,
+    opt: OptimizationConfig,
+) -> LMState:
+    """Fixed-iteration LM with accept/reject damping adaptation."""
+    delta = opt.huber_delta
+    tmax = opt.max_allow_incre_T
+
+    def step(state: LMState, _):
+        H, g, _, _ = _normal_system(f, state.q, state.t, delta)
+        dd = _solve_damped(H, g, state.lam)
+        q_new = se3.quat_normalize(
+            se3.quat_multiply(se3.quat_exp(dd[:3]), state.q))
+        t_new = jnp.clip(state.t + dd[3:], -tmax, tmax)
+        r_new, m_new = f(q_new, t_new)
+        c_new = _cost(r_new, m_new, delta)
+        accept = c_new < state.cost
+        new_state = LMState(
+            q=jnp.where(accept, q_new, state.q),
+            t=jnp.where(accept, t_new, state.t),
+            lam=jnp.where(accept, state.lam * 0.3, state.lam * 5.0),
+            cost=jnp.minimum(c_new, state.cost),
+        )
+        return new_state, None
+
+    r0, m0 = f(q0, t0)
+    init = LMState(q=q0, t=t0, lam=jnp.float32(opt.lm_init_lambda),
+                   cost=_cost(r0, m0, opt.huber_delta))
+    out, _ = lax.scan(step, init, None, length=iterations)
+    return out
+
+
+def solve_two_phase(
+    f_with_mask: Callable[[jax.Array], ResidualFn],
+    base_mask: jax.Array,
+    q0: jax.Array,
+    t0: jax.Array,
+    opt: OptimizationConfig,
+):
+    """The reference's prerun → prune → full-solve schedule.
+
+    ``f_with_mask(extra_mask)`` must return a ResidualFn whose block
+    mask is (built-in validity ∧ extra_mask).
+
+    Returns (q, t, SolveInfo).  The exported inlier threshold is scaled
+    by final/initial cost of the full solve, matching
+    ``point_cloud_registration.hpp:559``.
+    """
+    f_all = f_with_mask(base_mask)
+    pre = lm_solve(f_all, q0, t0, opt.prerun_iterations, opt)
+
+    # Inlier pruning on loss-corrected residuals: threshold =
+    # max(inlier_dis, ratio-quantile of per-block |r|₁)
+    # (reference :484-499).
+    r, mask = f_all(pre.q, pre.t)
+    s = jnp.sum(r * r, axis=-1)
+    rc = r * jnp.sqrt(huber_weight(s, opt.huber_delta))[:, None]
+    l1 = jnp.sum(jnp.abs(rc), axis=-1)
+    thr = jnp.maximum(
+        jnp.float32(opt.inlier_dis),
+        masked_quantile_l1(l1, mask, opt.inlier_ratio),
+    )
+    keep = jnp.logical_and(base_mask, l1 <= thr)
+
+    f_in = f_with_mask(keep)
+    r_i, m_i = f_in(pre.q, pre.t)
+    initial_cost = _cost(r_i, m_i, opt.huber_delta)
+    full = lm_solve(f_in, pre.q, pre.t, opt.full_iterations, opt)
+
+    n_blocks = jnp.sum(m_i.astype(jnp.int32))
+    inlier_threshold = thr * full.cost / jnp.maximum(initial_cost, 1e-12)
+    info = SolveInfo(
+        initial_cost=initial_cost,
+        final_cost=full.cost,
+        inlier_threshold=inlier_threshold,
+        n_blocks=n_blocks,
+    )
+    return full.q, full.t, info
