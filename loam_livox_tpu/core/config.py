@@ -111,6 +111,10 @@ class MappingConfig:
     # history admission gates (reference: laser_mapping.hpp:80-84)
     history_add_t_step: float = 0.0
     history_add_angle_step: float = 0.0
+    # Cell-map grid resolution; the effective cell box size is half this
+    # (reference: m_pt_cell_resolution = 1.0, laser_mapping.hpp:272,
+    # halved by set_resolution, cell_map_keyframe.hpp:675-680).
+    cell_resolution: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -142,10 +146,21 @@ class CapacityConfig:
     max_surface: int = 4096            # padded surface features per frame
     map_corner_capacity: int = 32768   # matching-buffer corner points
     map_surf_capacity: int = 131072    # matching-buffer surface points
-    cell_capacity: int = 8192          # cell-map hash table slots
-    cell_point_capacity: int = 32      # points retained per cell for stats
+    cell_capacity: int = 8192          # cell-map directory slots
+    cell_point_capacity: int = 32      # points retained per cell (ring pool)
+    cell_max_new_per_frame: int = 512  # new cells creatable per frame
     knn_query_tile: int = 512          # kNN query chunking
     history_window: int = 64           # registered frames kept for matching
+    # per-frame capacities of the history ring buffers (world-frame,
+    # voxel-downsampled registered features — reference keeps full
+    # dynamically-sized clouds in std::list, laser_mapping.hpp:1444-1463)
+    hist_corner_capacity: int = 512
+    hist_surf_capacity: int = 2048
+    # matching-buffer rebuild cadence in frames: 1 = every frame (the
+    # precision profile's tight delay tolerance), larger = the staleness
+    # the realtime profile tolerates via its async refresh thread
+    # (reference: laser_mapping.hpp:568-576, maximum_pointcloud_delay_time)
+    matching_rebuild_interval: int = 1
 
 
 @dataclass(frozen=True)

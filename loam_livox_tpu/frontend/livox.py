@@ -349,15 +349,20 @@ def select_features(
     # array math downstream) and zero dropouts.
     full_sel = ok & ((info.pt_type & (PT_000 | PT_NAN)) == 0)
 
-    def gather(sel, capacity):
+    # Selections keep the full raw capacity here: truncating to the
+    # (smaller) feature capacities before the source voxel filter would
+    # crop by scan time, not by space.  The node-level filter
+    # (`source_downsample`, reference laser_feature_extractor.hpp:372-384)
+    # owns the reduction to `caps.max_corner` / `caps.max_surface`.
+    def gather(sel):
         from ..ops.masked import compact
 
-        m, px, pt = compact(sel, xyz, info.time, capacity=capacity)
+        m, px, pt = compact(sel, xyz, info.time, capacity=None)
         return PointBatch(xyz=jnp.where(m[:, None], px, 0.0), time=pt, mask=m)
 
-    corners = gather(corner_sel, caps.max_corner)
-    surface = gather(surf_sel, caps.max_surface)
-    full = gather(full_sel, caps.max_raw_points)
+    corners = gather(corner_sel)
+    surface = gather(surf_sel)
+    full = gather(full_sel)
 
     any_t = ok & ((info.pt_type & (PT_000 | PT_NAN)) == 0)
     tmin = jnp.min(jnp.where(any_t, info.time, jnp.inf))

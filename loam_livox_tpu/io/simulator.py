@@ -56,7 +56,21 @@ class BoxScene:
         rng: np.random.Generator,
         half_extent: float = 12.0,
         n_boxes: int = 14,
+        n_pillars: int = 12,
     ) -> "BoxScene":
+        """Room walls + random boxes + pillars inside the +X viewing
+        frustum.
+
+        The pillars matter: the Livox corner detector fires on *creases*
+        (convex edges between two visible faces — local depth minimum,
+        continuous depth), not on occlusion edges, which its small-FoV
+        outlier rejection deliberately discards (reference:
+        ``livox_feature_extractor.hpp:443-452``).  A bare room seen
+        through a 17° cone is crease-free, so without pillars the
+        front-end correctly emits zero corner features and registration
+        never engages (the reference gates on a non-empty corner map,
+        ``point_cloud_registration.hpp:29,199``).
+        """
         e = half_extent
         w = 0.5  # wall thickness
         walls = [
@@ -72,6 +86,15 @@ class BoxScene:
             c = rng.uniform(-0.7 * e, 0.7 * e, size=3)
             s = rng.uniform(0.4, 2.5, size=3)
             boxes.append(np.stack([c - s / 2, c + s / 2]))
+        # Full-height pillars scattered through the band the (moving,
+        # yawing) sensor frustum sweeps; lateral offsets guarantee two
+        # faces are visible, so each contributes a vertical crease.
+        for _ in range(n_pillars):
+            x = rng.uniform(0.3 * e, 0.9 * e)
+            y = rng.uniform(-0.55 * e, 0.55 * e)
+            sx, sy = rng.uniform(0.3, 0.9, size=2)
+            boxes.append(np.array(
+                [[x - sx / 2, y - sy / 2, -e], [x + sx / 2, y + sy / 2, e]]))
         arr = np.stack(boxes)
         refl = rng.uniform(0.5, 1.5, size=len(arr))
         return BoxScene(arr, refl)
@@ -96,6 +119,148 @@ class BoxScene:
         box_idx = np.argmin(t_enter, axis=1)
         t_hit = t_enter[np.arange(len(origins)), box_idx]
         return t_hit, box_idx
+
+
+@dataclass
+class ConvexScene:
+    """Scene of convex polyhedra, each the intersection of half-spaces
+    ``n·x ≤ d``.  Generalizes `BoxScene` so surfaces can meet at
+    arbitrary angles — required to synthesize the *creases* (convex
+    edges between two visible faces) that the Livox corner detector is
+    built to find (reference: ``livox_feature_extractor.hpp:443-452``;
+    occlusion edges are rejected by its view-angle / depth-jump gates,
+    so an axis-aligned-box world yields almost no corner features).
+
+    normals: (B, P, 3) — padded planes have n = 0.
+    dists:   (B, P)   — padded planes have d = 1 (always satisfied).
+    """
+
+    normals: np.ndarray
+    dists: np.ndarray
+    reflectivity: np.ndarray
+
+    @staticmethod
+    def from_parts(parts, refl):
+        """parts: list of (normals (p,3), dists (p,)) per object."""
+        pmax = max(len(d) for _, d in parts)
+        B = len(parts)
+        normals = np.zeros((B, pmax, 3))
+        dists = np.ones((B, pmax))
+        for i, (n, d) in enumerate(parts):
+            normals[i, : len(d)] = n
+            dists[i, : len(d)] = d
+        return ConvexScene(normals, dists, np.asarray(refl, np.float64))
+
+    @staticmethod
+    def box_planes(lo, hi):
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        n = np.vstack([np.eye(3), -np.eye(3)])
+        d = np.concatenate([hi, -lo])
+        return n, d
+
+    @staticmethod
+    def wedge_planes(apex_xy, span_lo, span_hi, x_back, half_angle_deg,
+                     azimuth_deg: float = 0.0, horizontal: bool = False):
+        """Sharp triangular prism ridge with apex edge through
+        ``(x, y) = apex_xy`` (vertical edge) or ``(x, z) = apex_xy``
+        (horizontal edge, ``horizontal=True``), opening away from the
+        sensor (toward +x after `azimuth_deg` rotation) with the given
+        half-angle.  Small half-angles give the steep depth slopes a
+        crease needs to clear `corner_curvature`."""
+        th = np.deg2rad(half_angle_deg)
+        az = np.deg2rad(azimuth_deg)
+        c, s = np.cos(az), np.sin(az)
+        if horizontal:
+            # Rotate about y: faces split in z, edge runs along y.
+            R = np.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+            lat = np.array([0.0, 0.0, 1.0])      # face-splitting axis
+            edge = np.array([0.0, 1.0, 0.0])     # apex edge direction
+            ax, aw = apex_xy
+            apex = np.array([ax, 0.0, aw])
+        else:
+            R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+            lat = np.array([0.0, 1.0, 0.0])
+            edge = np.array([0.0, 0.0, 1.0])
+            ax, aw = apex_xy
+            apex = np.array([ax, aw, 0.0])
+        n1 = R @ (-np.sin(th) * np.array([1.0, 0, 0]) + np.cos(th) * lat)
+        n2 = R @ (-np.sin(th) * np.array([1.0, 0, 0]) - np.cos(th) * lat)
+        nb = R @ np.array([1.0, 0.0, 0.0])
+        back = apex + R @ np.array([x_back, 0.0, 0.0])
+        n = np.stack([n1, n2, nb, edge, -edge])
+        d = np.array([n1 @ apex, n2 @ apex, nb @ back, span_hi, -span_lo])
+        return n, d
+
+    @staticmethod
+    def random_room(
+        rng: np.random.Generator,
+        half_extent: float = 12.0,
+        n_boxes: int = 10,
+        n_pillars: int = 8,
+        n_ridges: int = 20,
+    ) -> "ConvexScene":
+        """Room walls + boxes + frustum pillars + sharp wall ridges."""
+        e = half_extent
+        w = 0.5
+        parts = []
+        walls = [
+            ([e, -e - w, -e - w], [e + w, e + w, e + w]),
+            ([-e - w, -e - w, -e - w], [-e, e + w, e + w]),
+            ([-e - w, e, -e - w], [e + w, e + w, e + w]),
+            ([-e - w, -e - w, -e - w], [e + w, -e, e + w]),
+            ([-e - w, -e - w, e], [e + w, e + w, e + w]),
+            ([-e - w, -e - w, -e - w], [e + w, e + w, -e]),
+        ]
+        for lo, hi in walls:
+            parts.append(ConvexScene.box_planes(lo, hi))
+        for _ in range(n_boxes):
+            c = rng.uniform(-0.7 * e, 0.7 * e, size=3)
+            s = rng.uniform(0.4, 2.5, size=3)
+            parts.append(ConvexScene.box_planes(c - s / 2, c + s / 2))
+        for _ in range(n_pillars):
+            x = rng.uniform(0.3 * e, 0.9 * e)
+            y = rng.uniform(-0.55 * e, 0.55 * e)
+            sx, sy = rng.uniform(0.3, 0.9, size=2)
+            parts.append(ConvexScene.box_planes(
+                [x - sx / 2, y - sy / 2, -e], [x + sx / 2, y + sy / 2, e]))
+        for i in range(n_ridges):
+            # Ridges poking out of the +x wall region the frustum sweeps,
+            # apex pointed at the sensor: half-angle 10-20° → depth slope
+            # cot(θ) ≈ 2.7-5.7 across the crease.  Alternate vertical and
+            # horizontal apex edges so the rosette crosses creases in
+            # both scan directions.
+            x = rng.uniform(0.5 * e, 0.95 * e)
+            y = rng.uniform(-0.6 * e, 0.6 * e)
+            half_angle = rng.uniform(10.0, 20.0)
+            azim = rng.uniform(-25.0, 25.0)
+            depth = rng.uniform(1.0, 2.5)
+            parts.append(ConvexScene.wedge_planes(
+                (x, y), -e, e, depth, half_angle, azim,
+                horizontal=bool(i % 2)))
+        refl = rng.uniform(0.5, 1.5, size=len(parts))
+        return ConvexScene.from_parts(parts, refl)
+
+    def raycast(self, origins: np.ndarray, dirs: np.ndarray):
+        """First-hit distances (N,), object ids (N,); inf where no hit."""
+        o = origins
+        d = dirs
+        # (N, B, P) plane interactions
+        denom = np.einsum("nk,bpk->nbp", d, self.normals)
+        num = self.dists[None, :, :] - np.einsum("nk,bpk->nbp", o, self.normals)
+        eps = 1e-12
+        t = num / np.where(np.abs(denom) < eps, eps, denom)
+        entering = denom < -eps
+        exiting = denom > eps
+        parallel_out = (np.abs(denom) <= eps) & (num < 0)
+        tmin = np.max(np.where(entering, t, -np.inf), axis=-1)
+        tmax = np.min(np.where(exiting, t, np.inf), axis=-1)
+        hit = (tmax >= tmin) & (tmax > 0) & ~np.any(parallel_out, axis=-1)
+        t_enter = np.where(tmin > 0, tmin, tmax)
+        t_enter = np.where(hit, t_enter, np.inf)
+        obj = np.argmin(t_enter, axis=1)
+        t_hit = t_enter[np.arange(len(o)), obj]
+        return t_hit, obj
 
 
 @dataclass
@@ -142,12 +307,12 @@ class SimConfig:
 
 class LivoxSimulator:
     def __init__(self, cfg: SimConfig | None = None,
-                 scene: BoxScene | None = None,
+                 scene: "BoxScene | ConvexScene | None" = None,
                  traj: Trajectory | None = None,
                  pattern: RosettePattern | None = None):
         self.cfg = cfg or SimConfig()
         self.rng = np.random.default_rng(self.cfg.seed)
-        self.scene = scene or BoxScene.random_room(self.rng)
+        self.scene = scene or ConvexScene.random_room(self.rng)
         self.traj = traj or Trajectory()
         self.pattern = pattern or RosettePattern()
 

@@ -1,0 +1,290 @@
+"""Odometry/mapping runtime — the TPU re-design of `Laser_mapping`'s
+per-frame critical path (reference: ``source/laser_mapping.hpp:1316-1660``
+`process_new_scan` + ``:460-566`` `update_buff_for_matching`).
+
+The reference is a thread-and-mutex pipeline: worker threads register
+frames against a double-buffered KD-tree matching buffer that detached
+service threads rebuild from a sliding history window.  The TPU-native
+design replaces all of it with **one jitted step over functional
+state**:
+
+    state, result = odometry_step(state, frame)
+
+where the state pytree carries the pose, the history ring buffers (the
+reference's ``m_laser_cloud_*_history`` std::lists become fixed-shape
+(W, C, 3) rings), and the current matching buffer (the reference's
+``*_from_map_last`` clouds; the KD-tree is gone — correspondence is the
+batched MXU kNN).  The matching-buffer rebuild happens inside the step
+on a configurable cadence (`capacity.matching_rebuild_interval`), which
+is the functional encoding of the reference's staleness contract
+(`maximum_pointcloud_delay_time`): a rebuild every k-th frame means
+registration sees a buffer at most k frames old, exactly like the async
+refresh thread.
+
+Behavioral parity checklist (history matching mode, matching_mode=0):
+* input voxel downsample, corner leaf = line_resolution, surface leaf =
+  plane_resolution (reference :1368-1373, :742-743),
+* init-accumulation gate: full ICP only after `init_accumulate_frames`
+  (reference point_cloud_registration.hpp:199 via config :28-30),
+* degeneracy-rejected frames update neither pose nor history
+  (reference :1416-1420),
+* registered features are world-transformed **with per-point deblur**
+  then re-downsampled before entering history (reference :1422-1437),
+* history admission gate on motion deltas, window popped at
+  `maximum_histroy_buffer` (reference :1444-1487),
+* matching buffer = concat(history) → voxel filter at the same leaves
+  (reference :517-537).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import se3
+from ..core.config import SlamConfig
+from ..core.types import FeatureFrame, PointBatch
+from ..map.cell_map import (
+    CellMap,
+    append_cloud,
+    cells_in_fov,
+    cells_in_radius,
+    empty_cell_map,
+    gather_cell_points,
+)
+from ..ops.voxel import voxel_downsample
+from ..registration import residuals as res
+from ..registration.icp import RegistrationResult, refine_blur, register_frame
+
+
+class OdometryState(NamedTuple):
+    """Functional state of the odometry/mapping loop (one pytree)."""
+
+    q_w: jax.Array                 # (4,) current world pose
+    t_w: jax.Array                 # (3,)
+    frame_count: jax.Array         # int32 — frames processed
+    # History ring buffers of world-frame registered features
+    # (reference: m_laser_cloud_corner/surface_history, :1444-1487).
+    hist_corner_xyz: jax.Array     # (W, Ch, 3)
+    hist_corner_mask: jax.Array    # (W, Ch)
+    hist_surf_xyz: jax.Array       # (W, Cs, 3)
+    hist_surf_mask: jax.Array      # (W, Cs)
+    hist_ptr: jax.Array            # int32 — next ring slot
+    hist_len: jax.Array            # int32 — valid entries
+    # History admission gate state (reference: m_last_his_add_q/t, :80-84).
+    last_his_q: jax.Array
+    last_his_t: jax.Array
+    # Cell maps of registered features (reference: m_pt_cell_map_corners
+    # / m_pt_cell_map_planes, laser_mapping.hpp:274-275,1491-1493);
+    # matching source in cell mode, keyframe source for loop closure.
+    cell_corners: CellMap
+    cell_planes: CellMap
+    # Matching buffer (reference: *_from_map_last, :551-559).
+    map_corners: PointBatch
+    map_surface: PointBatch
+    rng: jax.Array
+
+
+def init_state(cfg: SlamConfig) -> OdometryState:
+    caps = cfg.capacity
+    w = caps.history_window
+    return OdometryState(
+        q_w=se3.quat_identity(),
+        t_w=jnp.zeros(3, jnp.float32),
+        frame_count=jnp.int32(0),
+        hist_corner_xyz=jnp.zeros((w, caps.hist_corner_capacity, 3), jnp.float32),
+        hist_corner_mask=jnp.zeros((w, caps.hist_corner_capacity), bool),
+        hist_surf_xyz=jnp.zeros((w, caps.hist_surf_capacity, 3), jnp.float32),
+        hist_surf_mask=jnp.zeros((w, caps.hist_surf_capacity), bool),
+        hist_ptr=jnp.int32(0),
+        hist_len=jnp.int32(0),
+        last_his_q=se3.quat_identity(),
+        last_his_t=jnp.zeros(3, jnp.float32),
+        cell_corners=empty_cell_map(cfg.mapping.cell_resolution * 0.5,
+                                    caps.cell_capacity,
+                                    caps.cell_point_capacity),
+        cell_planes=empty_cell_map(cfg.mapping.cell_resolution * 0.5,
+                                   caps.cell_capacity,
+                                   caps.cell_point_capacity),
+        map_corners=PointBatch.empty(caps.map_corner_capacity),
+        map_surface=PointBatch.empty(caps.map_surf_capacity),
+        rng=jax.random.PRNGKey(0),
+    )
+
+
+def _rebuild_matching_buffer(state: OdometryState, cfg: SlamConfig
+                             ) -> Tuple[PointBatch, PointBatch]:
+    """Matching-buffer build (reference `update_buff_for_matching`,
+    laser_mapping.hpp:460-566).
+
+    matching_mode 0 (*history*): concat the sliding window.
+    matching_mode 1 (*cell*): gather cell point pools within the search
+    radius of the current pose, FoV-gated (reference :471-515).
+    Either way, voxel-filter at the registration leaves (:533-537)."""
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+
+    if cfg.mapping.matching_mode == 1:
+        sel_c = cells_in_radius(state.cell_corners, state.t_w,
+                                cfg.mapping.maximum_search_range_corner)
+        sel_c &= cells_in_fov(state.cell_corners, state.t_w, state.q_w,
+                              cfg.mapping.maximum_in_fov_angle)
+        sel_s = cells_in_radius(state.cell_planes, state.t_w,
+                                cfg.mapping.maximum_search_range_surface)
+        sel_s &= cells_in_fov(state.cell_planes, state.t_w, state.q_w,
+                              cfg.mapping.maximum_in_fov_angle)
+        raw_c = gather_cell_points(state.cell_corners, sel_c)
+        raw_s = gather_cell_points(state.cell_planes, sel_s)
+    else:
+        def flatten(xyz, mask):
+            w, c, _ = xyz.shape
+            return PointBatch(
+                xyz=xyz.reshape(w * c, 3),
+                time=jnp.zeros((w * c,), jnp.float32),
+                mask=mask.reshape(w * c),
+            )
+
+        raw_c = flatten(state.hist_corner_xyz, state.hist_corner_mask)
+        raw_s = flatten(state.hist_surf_xyz, state.hist_surf_mask)
+
+    corners = voxel_downsample(raw_c, fe.mapping_line_resolution,
+                               capacity=caps.map_corner_capacity)
+    surface = voxel_downsample(raw_s, fe.mapping_plane_resolution,
+                               capacity=caps.map_surf_capacity)
+    return corners, surface
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState,
+    frame: FeatureFrame,
+    cfg: SlamConfig,
+) -> Tuple[OdometryState, RegistrationResult]:
+    """Process one feature frame: register, map-update, rebuild buffer."""
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+    deblur = bool(cfg.common.if_motion_deblur)
+
+    # ---- input downsample (reference :1368-1373) ------------------------
+    if cfg.mapping.input_downsample_mode:
+        corner_in = voxel_downsample(frame.corners, fe.mapping_line_resolution)
+        surf_in = voxel_downsample(frame.surface, fe.mapping_plane_resolution)
+    else:
+        corner_in, surf_in = frame.corners, frame.surface
+
+    # ---- registration gate (reference config :28-30) --------------------
+    enabled = state.frame_count >= cfg.mapping.init_accumulate_frames
+
+    rng, reg_key = jax.random.split(state.rng)
+    reg = register_frame(
+        corner_in, surf_in,
+        state.map_corners, state.map_surface,
+        state.q_w, state.t_w,
+        frame.time_min, frame.time_max,
+        enabled, reg_key, cfg,
+    )
+
+    # Rejected frames: keep previous pose, add nothing (reference :1416-1420).
+    add_frame = reg.accepted
+
+    # ---- world transform with deblur (reference :1422-1437) -------------
+    s_c = refine_blur(corner_in.time, frame.time_min, frame.time_max, deblur)
+    s_s = refine_blur(surf_in.time, frame.time_min, frame.time_max, deblur)
+    corner_w = corner_in._replace(xyz=res.transform_points_incre(
+        reg.q_incre, reg.t_incre, corner_in.xyz, s_c,
+        state.q_w, state.t_w, deblur))
+    surf_w = surf_in._replace(xyz=res.transform_points_incre(
+        reg.q_incre, reg.t_incre, surf_in.xyz, s_s,
+        state.q_w, state.t_w, deblur))
+
+    corner_w = voxel_downsample(corner_w, fe.mapping_line_resolution,
+                                capacity=caps.hist_corner_capacity)
+    surf_w = voxel_downsample(surf_w, fe.mapping_plane_resolution,
+                              capacity=caps.hist_surf_capacity)
+
+    # ---- history admission (reference :1444-1463) -----------------------
+    r_diff = se3.quat_angular_distance(reg.q_w, state.last_his_q) * 57.3
+    t_diff = jnp.linalg.norm(reg.t_w - state.last_his_t)
+    window_open = state.hist_len < cfg.mapping.maximum_histroy_buffer
+    moved = jnp.logical_or(
+        t_diff > cfg.mapping.history_add_t_step,
+        r_diff > cfg.mapping.history_add_angle_step * 57.3,
+    )
+    admit = jnp.logical_and(add_frame, jnp.logical_or(window_open, moved))
+
+    w = caps.history_window
+    slot = state.hist_ptr
+    def write_ring(ring, ring_mask, pts: PointBatch):
+        new_xyz = lax.dynamic_update_index_in_dim(ring, pts.xyz, slot, 0)
+        new_mask = lax.dynamic_update_index_in_dim(ring_mask, pts.mask, slot, 0)
+        return (
+            jnp.where(admit, new_xyz, ring),
+            jnp.where(admit, new_mask, ring_mask),
+        )
+
+    hc_xyz, hc_mask = write_ring(state.hist_corner_xyz, state.hist_corner_mask,
+                                 corner_w)
+    hs_xyz, hs_mask = write_ring(state.hist_surf_xyz, state.hist_surf_mask,
+                                 surf_w)
+    hist_ptr = jnp.where(admit, (slot + 1) % w, slot)
+    hist_len = jnp.where(admit, jnp.minimum(state.hist_len + 1, w),
+                         state.hist_len)
+    last_his_q = jnp.where(admit, reg.q_w, state.last_his_q)
+    last_his_t = jnp.where(admit, reg.t_w, state.last_his_t)
+
+    # ---- cell-map insertion (reference :1491-1493) ----------------------
+    # Appended unconditionally with an admit-gated mask so the jit
+    # program is branch-free; an all-False mask touches no cells.  (The
+    # cell frame index then counts all frames, not only accepted ones —
+    # immaterial at the shipped revisit thresholds of 2000/100000.)
+    revisit = cfg.common.threshold_cell_revisit
+    max_new = caps.cell_max_new_per_frame
+    cell_corners = append_cloud(
+        state.cell_corners,
+        corner_w._replace(mask=corner_w.mask & admit),
+        revisit, max_new=max_new)
+    cell_planes = append_cloud(
+        state.cell_planes,
+        surf_w._replace(mask=surf_w.mask & admit),
+        revisit, max_new=max_new)
+
+    # ---- matching-buffer rebuild (cadenced; see module doc) -------------
+    mid_state = state._replace(
+        hist_corner_xyz=hc_xyz, hist_corner_mask=hc_mask,
+        hist_surf_xyz=hs_xyz, hist_surf_mask=hs_mask,
+        cell_corners=cell_corners, cell_planes=cell_planes,
+        q_w=reg.q_w, t_w=reg.t_w,
+    )
+    interval = max(int(caps.matching_rebuild_interval), 1)
+    do_rebuild = jnp.logical_and(
+        admit, (state.frame_count % interval) == 0) if interval > 1 else admit
+
+    map_corners, map_surface = lax.cond(
+        do_rebuild,
+        lambda st: _rebuild_matching_buffer(st, cfg),
+        lambda st: (st.map_corners, st.map_surface),
+        mid_state,
+    )
+
+    new_state = OdometryState(
+        q_w=reg.q_w,
+        t_w=reg.t_w,
+        frame_count=state.frame_count + 1,
+        hist_corner_xyz=hc_xyz,
+        hist_corner_mask=hc_mask,
+        hist_surf_xyz=hs_xyz,
+        hist_surf_mask=hs_mask,
+        hist_ptr=hist_ptr,
+        hist_len=hist_len,
+        last_his_q=last_his_q,
+        last_his_t=last_his_t,
+        cell_corners=cell_corners,
+        cell_planes=cell_planes,
+        map_corners=map_corners,
+        map_surface=map_surface,
+        rng=rng,
+    )
+    return new_state, reg

@@ -1,0 +1,160 @@
+"""End-to-end odometry pipeline driver.
+
+The host-side loop that stands in for the reference's two ROS processes
+and their pub/sub boundary (reference: ``source/laser_feature_extractor.cpp``
++ ``source/laser_mapping.cpp``): raw frames → front-end feature
+extraction (jitted) → odometry step (jitted).  The handoff between the
+two stages is a device-array `FeatureFrame`, not a serialized
+PointCloud2 — the "topic" is gone by design (SURVEY.md §2.7).
+
+The reference's node-level behaviors reproduced here:
+* source voxel downsample before "publish": surface leaf =
+  plane_resolution/2, corner leaf = line_resolution
+  (reference: laser_feature_extractor.hpp:192-193, 372-384),
+* piecewise frame splitting (reference :305-335),
+* frame-drop backpressure is not needed: the loop is synchronous, so
+  the queue never grows (the reference drops frames only because its
+  producer can outrun its consumer, laser_mapping.hpp:1702-1707).
+"""
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SlamConfig
+from ..core.types import FeatureFrame
+from ..frontend.livox import extract_frame
+from ..io.simulator import LivoxSimulator
+from ..ops.voxel import voxel_downsample
+from .odometry import OdometryState, init_state, odometry_step
+
+
+@partial(jax.jit, static_argnames=("cfg", "piecewise_number"))
+def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
+                      piecewise_number: int = 1):
+    """ONE fused jitted program for a whole raw frame: feature
+    extraction → source downsample → `piecewise_number` sequential
+    odometry steps.  A single dispatch per frame matters: per-call
+    host→device latency would otherwise dominate at real-time rates
+    (the reference's analogue is its zero-copy intra-process handoff
+    once inside `Laser_mapping`).
+
+    The piecewise windows run as a `lax.scan` over (lo, hi) index
+    fractions — NOT a Python unroll, which would multiply the program
+    size (and compile time) by `piecewise_number`.
+
+    Returns (state, last RegistrationResult, per-piece
+    (q_w, t_w, accepted, time_min) arrays with leading dim
+    `piecewise_number`).
+    """
+    from jax import lax
+
+    from ..frontend.livox import extract_point_info, select_features
+
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+    info, n_petals = extract_point_info(pts, inten, mask,
+                                        jnp.asarray(t0, jnp.float32), fe, caps)
+
+    bounds = jnp.stack(
+        [jnp.arange(piecewise_number) / piecewise_number,
+         (jnp.arange(piecewise_number) + 1) / piecewise_number],
+        axis=-1).astype(jnp.float32)
+
+    def piece_step(st, lohi):
+        piece = select_features(pts, info, n_petals, lohi[0], lohi[1],
+                                fe, caps)
+        piece = piece._replace(
+            corners=voxel_downsample(piece.corners, fe.mapping_line_resolution,
+                                     capacity=caps.max_corner),
+            surface=voxel_downsample(piece.surface,
+                                     fe.mapping_plane_resolution / 2.0,
+                                     capacity=caps.max_surface),
+        )
+        st, reg = odometry_step(st, piece, cfg)
+        return st, (reg, piece.time_min)
+
+    state, (regs, tmins) = lax.scan(piece_step, state, bounds)
+    last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
+    poses = (regs.q_w, regs.t_w, regs.accepted, tmins)
+    return state, last_reg, poses
+
+
+@dataclass
+class TrajectoryRecord:
+    times: List[float] = field(default_factory=list)
+    positions: List[np.ndarray] = field(default_factory=list)
+    quaternions: List[np.ndarray] = field(default_factory=list)
+    accepted: List[bool] = field(default_factory=list)
+
+    def positions_array(self) -> np.ndarray:
+        return np.asarray(self.positions, np.float64)
+
+
+class OdometryPipeline:
+    """Feature extraction + odometry over a stream of raw frames."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.state: OdometryState = init_state(cfg)
+        self.trajectory = TrajectoryRecord()
+
+    def process_raw(self, xyz: np.ndarray, intensity: np.ndarray,
+                    base_time: float) -> None:
+        """One raw sensor frame → piecewise feature frames → odometry
+        (one fused device program)."""
+        caps = self.cfg.capacity
+        n = caps.max_raw_points
+        pts = np.zeros((n, 3), np.float32)
+        inten = np.zeros((n,), np.float32)
+        mask = np.zeros((n,), bool)
+        m = min(len(xyz), n)
+        pts[:m] = xyz[:m]
+        inten[:m] = intensity[:m]
+        mask[:m] = True
+
+        self.state, _, poses = process_raw_frame(
+            self.state, jnp.asarray(pts), jnp.asarray(inten),
+            jnp.asarray(mask), jnp.float32(base_time), self.cfg,
+            piecewise_number=self.cfg.common.piecewise_number,
+        )
+        q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
+        for p in range(len(tmins)):
+            self.trajectory.times.append(float(tmins[p]))
+            self.trajectory.positions.append(t_ws[p])
+            self.trajectory.quaternions.append(q_ws[p])
+            self.trajectory.accepted.append(bool(accepted[p]))
+
+    def process_feature_frame(self, frame: FeatureFrame) -> None:
+        self.state, reg = odometry_step(self.state, frame, self.cfg)
+        t = float(frame.time_min)
+        self.trajectory.times.append(t)
+        self.trajectory.positions.append(np.asarray(reg.t_w))
+        self.trajectory.quaternions.append(np.asarray(reg.q_w))
+        self.trajectory.accepted.append(bool(reg.accepted))
+
+
+def run_odometry(
+    cfg: SlamConfig,
+    n_frames: int,
+    sim: Optional[LivoxSimulator] = None,
+    verbose: bool = False,
+):
+    """Simulate and process `n_frames`; returns (pipeline, sim, wall_s)."""
+    sim = sim or LivoxSimulator()
+    pipe = OdometryPipeline(cfg)
+    t0 = _time.perf_counter()
+    for i in range(n_frames):
+        xyz, inten, base_t = sim.frame(i)
+        pipe.process_raw(xyz, inten, base_t)
+        if verbose and (i + 1) % 10 == 0:
+            print(f"frame {i + 1}/{n_frames} t_w="
+                  f"{np.round(pipe.trajectory.positions[-1], 3)}")
+    wall = _time.perf_counter() - t0
+    return pipe, sim, wall

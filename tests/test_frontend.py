@@ -205,8 +205,12 @@ class TestSelection:
         # only the first half of indices selected
         full_t = np.asarray(frame.full.time)[np.asarray(frame.full.mask)]
         assert full_t.max() <= 0.5 * len(xyz) * FE.time_internal_pts + 1e-6
-        assert frame.corners.capacity == CAPS.max_corner
-        assert frame.surface.capacity == CAPS.max_surface
+        # Selections keep the raw capacity; the reduction to
+        # max_corner/max_surface happens in the node-level source voxel
+        # filter (runtime.pipeline), not here — truncating before the
+        # spatial filter would crop by scan time.
+        assert frame.corners.capacity == xyz.shape[0]
+        assert frame.surface.capacity == xyz.shape[0]
 
     def test_rejected_frame_has_no_features(self):
         xyz = make_petal_cloud(1, 400)
