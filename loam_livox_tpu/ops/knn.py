@@ -21,13 +21,14 @@ from jax import lax
 BIG = jnp.float32(1e30)
 
 
-@partial(jax.jit, static_argnames=("k", "ref_tile"))
+@partial(jax.jit, static_argnames=("k", "ref_tile", "exact"))
 def knn(
     query_xyz: jax.Array,
     ref_xyz: jax.Array,
     ref_mask: jax.Array,
     k: int = 5,
     ref_tile: int = 4096,
+    exact: bool = False,
 ):
     """k smallest squared distances from each query to the masked refs.
 
@@ -37,6 +38,12 @@ def knn(
       ref_mask:  (M,) bool — invalid refs never match.
       k:         neighbours per query.
       ref_tile:  reference tile width per scan step.
+      exact:     use exact per-tile top-k.  The default uses
+                 ``lax.approx_min_k`` (the TPU-optimized partial
+                 reduction; ~10× faster than exact top-k at tile width
+                 4096) with its default 0.95 recall — an approximation
+                 in the same spirit as the reference's approximate
+                 FLANN KD-tree searches.
 
     Returns:
       sq_dists: (Q, k) float32, ascending; BIG where fewer than k valid refs.
@@ -75,10 +82,16 @@ def knn(
             precision=lax.Precision.HIGHEST,
         )
         d = q2 + ref2_t[None, :] - 2.0 * cross
-        # Merge candidates with the carry and re-select top-k smallest.
-        cand_d = jnp.concatenate([best_d, d], axis=1)
-        idx_tile = tile_idx * ref_tile + lax.broadcasted_iota(jnp.int32, (nq, ref_tile), 1)
-        cand_i = jnp.concatenate([best_i, idx_tile], axis=1)
+        # Per-tile k smallest, then an exact merge with the carry over
+        # just 2k candidates.
+        if exact or ref_tile <= 2 * k:
+            neg_tile, pos = lax.top_k(-d, k)
+            tile_d = -neg_tile
+        else:
+            tile_d, pos = lax.approx_min_k(d, k)
+        tile_i = tile_idx * ref_tile + pos.astype(jnp.int32)
+        cand_d = jnp.concatenate([best_d, tile_d], axis=1)
+        cand_i = jnp.concatenate([best_i, tile_i], axis=1)
         neg_top, top_pos = lax.top_k(-cand_d, k)
         new_i = jnp.take_along_axis(cand_i, top_pos, axis=1)
         return (-neg_top, new_i), None

@@ -37,30 +37,28 @@ def voxel_keys(xyz: jax.Array, leaf: float | jax.Array):
     return hi, lo
 
 
-def _lex_sort_two_words(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    """Permutation sorting rows lexicographically by (hi, lo)."""
-    order1 = jnp.argsort(lo, stable=True)
-    order2 = jnp.argsort(hi[order1], stable=True)
-    return order1[order2]
-
-
 def voxel_downsample(batch: PointBatch, leaf: float, capacity: int | None = None) -> PointBatch:
     """Centroid voxel filter.  Output capacity defaults to the input's.
 
     If more voxels are occupied than `capacity`, the lexicographically
     smallest keys win (deterministic).
     """
+    import jax.lax as lax
+
     n = batch.capacity
     capacity = capacity or n
     hi, lo = voxel_keys(batch.xyz, leaf)
     # invalid points sort to the very back
     hi = jnp.where(batch.mask, hi, jnp.int32(1 << 30))
 
-    perm = _lex_sort_two_words(hi, lo)
-    hi_s, lo_s = hi[perm], lo[perm]
-    xyz_s = batch.xyz[perm]
-    time_s = batch.time[perm]
-    valid_s = batch.mask[perm]
+    # One fused lexicographic sort carrying the payload (instead of two
+    # argsorts + gathers — XLA's sort is the dominant cost here).
+    hi_s, lo_s, x_s, y_s, z_s, time_s, valid_s = lax.sort(
+        (hi, lo, batch.xyz[:, 0], batch.xyz[:, 1], batch.xyz[:, 2],
+         batch.time, batch.mask),
+        num_keys=2,
+    )
+    xyz_s = jnp.stack([x_s, y_s, z_s], axis=-1)
 
     new_seg = jnp.concatenate(
         [

@@ -125,7 +125,7 @@ def register_frame(
     map_s_ok = jnp.sum(map_surface.mask.astype(jnp.int32)) > SURFACE_MIN_MAP_NUM
     run = jnp.logical_and(enabled, jnp.logical_and(map_c_ok, map_s_ok))
 
-    def icp_iteration(state: ICPState, _):
+    def icp_iteration(state: ICPState) -> ICPState:
         # --- correspondence search at the current estimate ------------
         # (pointAssociateToMap with if_undistore=1, reference :247,349)
         qc = res.transform_points_incre(
@@ -174,22 +174,19 @@ def register_frame(
             jnp.linalg.norm(state.t_last_opt - t_new) < opt.minimum_icp_T_diff,
         )
 
-        act = state.active
-        new_state = ICPState(
-            q_incre=jnp.where(act, q_new, state.q_incre),
-            t_incre=jnp.where(act, t_new, state.t_incre),
-            q_last_opt=jnp.where(act, q_new, state.q_last_opt),
-            t_last_opt=jnp.where(act, t_new, state.t_last_opt),
-            active=jnp.logical_and(act, jnp.logical_not(converged)),
-            final_cost=jnp.where(act, info.final_cost, state.final_cost),
-            initial_cost=jnp.where(act, info.initial_cost, state.initial_cost),
-            inlier_threshold=jnp.where(act, info.inlier_threshold,
-                                       state.inlier_threshold),
-            n_blocks=jnp.where(act, info.n_blocks, state.n_blocks),
-            iterations=state.iterations + act.astype(jnp.int32),
+        return ICPState(
+            q_incre=q_new,
+            t_incre=t_new,
+            q_last_opt=q_new,
+            t_last_opt=t_new,
+            active=jnp.logical_not(converged),
+            final_cost=info.final_cost,
+            initial_cost=info.initial_cost,
+            inlier_threshold=info.inlier_threshold,
+            n_blocks=info.n_blocks,
+            iterations=state.iterations + 1,
             rng=rng,
         )
-        return new_state, None
 
     init = ICPState(
         q_incre=se3.quat_identity(),
@@ -204,8 +201,15 @@ def register_frame(
         iterations=jnp.int32(0),
         rng=rng_key,
     )
-    state, _ = lax.scan(icp_iteration, init, None,
-                        length=opt.icp_maximum_iteration)
+    # Early-exit outer loop (reference :521-531 `break`s on
+    # convergence): a while_loop does no work on converged/frozen
+    # iterations, unlike a scan that computes all 15 and masks.
+    state = lax.while_loop(
+        lambda s: jnp.logical_and(s.active,
+                                  s.iterations < opt.icp_maximum_iteration),
+        icp_iteration,
+        init,
+    )
 
     q_w = se3.quat_multiply(q_last, state.q_incre)
     t_w = se3.quat_rotate(q_last, state.t_incre) + t_last
