@@ -1,0 +1,143 @@
+"""Loop-closure component tests: keyframe descriptors (rotation
+invariance, similarity discrimination) and pose-graph optimization
+(drift correction with a loop edge)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loam_livox_tpu.core import se3
+from loam_livox_tpu.core.types import PointBatch
+from loam_livox_tpu.loop.keyframe import describe_keyframe, max_similarity
+from loam_livox_tpu.loop.pose_graph import (
+    add_loop_edge,
+    build_odometry_chain,
+    edge_residuals,
+    optimize_pose_graph,
+)
+from loam_livox_tpu.map.cell_map import append_cloud, empty_cell_map
+
+BIG = 10**9
+
+
+def structured_world(rng, n_planes=8, n_lines=6, pts_per=250, rot=None):
+    """Points forming several multi-cell planes and lines with distinct
+    orientations (each plane spans ~4×4 cells at the 0.5 m cell size, so
+    keyframes have realistic cell counts); optionally rotated by
+    quaternion `rot`."""
+    pts = []
+    for i in range(n_planes):
+        normal = rng.normal(size=3)
+        normal /= np.linalg.norm(normal)
+        u = np.cross(normal, [1, 0.3, 0.2])
+        u /= np.linalg.norm(u)
+        v = np.cross(normal, u)
+        c = rng.uniform(-6, 6, 3)
+        ab = rng.uniform(-1.1, 1.1, (pts_per, 2))
+        pts.append(c + ab[:, :1] * u + ab[:, 1:] * v
+                   + rng.normal(scale=1e-3, size=(pts_per, 3)))
+    for i in range(n_lines):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        c = rng.uniform(-6, 6, 3)
+        s = rng.uniform(-1.2, 1.2, (pts_per, 1))
+        pts.append(c + s * d + rng.normal(scale=2e-3, size=(pts_per, 3)))
+    out = np.concatenate(pts).astype(np.float32)
+    if rot is not None:
+        R = np.asarray(se3.quat_to_matrix(jnp.asarray(rot, jnp.float32)))
+        out = out @ R.T
+    return out
+
+
+def map_of(pts, cap=2048, pool=64):
+    m = empty_cell_map(0.5, capacity=cap, pool_size=pool)
+    n = len(pts)
+    padded = np.zeros((4096, 3), np.float32)
+    mask = np.zeros((4096,), bool)
+    padded[:n] = pts[:4096]
+    mask[:n] = True
+    b = PointBatch(xyz=jnp.asarray(padded), time=jnp.zeros(4096),
+                   mask=jnp.asarray(mask))
+    return append_cloud(m, b, BIG, max_new=2048)
+
+
+class TestKeyframeDescriptor:
+    def test_classifies_members(self):
+        rng = np.random.default_rng(0)
+        m = map_of(structured_world(rng))
+        d = describe_keyframe(m, m.valid())
+        assert int(d.n_plane) > 0
+        assert int(d.n_line) > 0
+        assert float(d.ratio_nonzero_plane) > 0
+
+    def test_self_similarity_is_high(self):
+        rng = np.random.default_rng(1)
+        m = map_of(structured_world(rng))
+        d = describe_keyframe(m, m.valid())
+        s = float(max_similarity(d.img_plane, d.img_plane))
+        assert s > 0.99
+
+    def test_rotation_invariance(self):
+        """The same world seen under a different orientation must score
+        high plane similarity (the rotation alignment + max-NCC design
+        goal, reference :1385-1427, 1157-1229)."""
+        rng = np.random.default_rng(2)
+        world = structured_world(rng)
+        rot = np.asarray(se3.quat_exp(jnp.asarray([0.3, 0.2, 1.2])))
+        d0 = describe_keyframe(map_of(world), map_of(world).valid())
+        m_rot = map_of(structured_world(np.random.default_rng(2), rot=rot))
+        d1 = describe_keyframe(m_rot, m_rot.valid())
+        s_same = float(max_similarity(d0.img_plane, d1.img_plane))
+        # different worlds must score clearly lower
+        s_diffs = []
+        for seed in (99, 7, 13):
+            m_other = map_of(structured_world(np.random.default_rng(seed)))
+            d2 = describe_keyframe(m_other, m_other.valid())
+            s_diffs.append(float(max_similarity(d0.img_plane, d2.img_plane)))
+        # The eigen alignment leaves residual ambiguity (sign flips,
+        # near-degenerate moment spectra), so rotated-same is not ~1.0 —
+        # the reference shares this (it compensates with a very high
+        # 0.94 accept gate and tolerates misses).  What matters is
+        # discrimination.
+        assert s_same > 0.65, f"rotated-same similarity {s_same}"
+        assert s_same > max(s_diffs) + 0.05, (s_same, s_diffs)
+
+
+class TestPoseGraph:
+    def make_drifted_loop(self, n=12, drift=0.3):
+        """Ground truth: a closed square loop; estimates accumulate
+        drift; one loop edge ties the last pose back to the first."""
+        qs = [np.array([1.0, 0, 0, 0])]
+        ts = [np.zeros(3)]
+        for i in range(1, n):
+            ang = 2 * np.pi * i / n
+            qs.append(np.array([np.cos(ang / 2), 0, 0, np.sin(ang / 2)]))
+            ts.append(np.array([np.cos(ang) - 1, np.sin(ang), 0.0]) * 3)
+        gt_q = np.stack(qs).astype(np.float32)
+        gt_t = np.stack(ts).astype(np.float32)
+        # drifted estimate: linear error ramp
+        est_t = gt_t + np.linspace(0, drift, n)[:, None] * np.array([1, 0.5, 0.2])
+        return jnp.asarray(gt_q), jnp.asarray(gt_t), jnp.asarray(est_t.astype(np.float32))
+
+    def test_residuals_zero_at_consistent_poses(self):
+        gt_q, gt_t, _ = self.make_drifted_loop()
+        g = build_odometry_chain(gt_q, gt_t)
+        r = edge_residuals(g, g.q, g.t)
+        assert float(jnp.abs(r).max()) < 1e-5
+
+    def test_loop_edge_corrects_drift(self):
+        gt_q, gt_t, est_t = self.make_drifted_loop()
+        n = gt_q.shape[0]
+        # odometry edges measured from the TRUE relative motions, node
+        # values initialized at the drifted estimate
+        g_true = build_odometry_chain(gt_q, gt_t, capacity_edges=n)
+        g = g_true._replace(t=est_t)
+        # loop edge: last → first with the true relative pose
+        rel_q = se3.quat_multiply(se3.quat_conjugate(gt_q[-1]), gt_q[0])
+        rel_t = se3.quat_rotate(se3.quat_conjugate(gt_q[-1]),
+                                gt_t[0] - gt_t[-1])
+        g = add_loop_edge(g, n - 1, n - 1, 0, rel_q, rel_t)
+        q_opt, t_opt, cost = optimize_pose_graph(g, iterations=25)
+        err = np.linalg.norm(np.asarray(t_opt) - np.asarray(gt_t), axis=1)
+        assert err.max() < 0.02, f"max err {err.max()}"
+        assert float(cost) < 1e-6
