@@ -1,0 +1,88 @@
+"""Headline benchmark: end-to-end odometry frames/s on one chip.
+
+Simulates a Mid-40-like stream (10,000 pts / 0.1 s frame — the
+reference's design rate, ``laser_feature_extractor.hpp:68``,
+``livox_feature_extractor.hpp:145``), then times the full compute path
+(front-end feature extraction + scan-to-map registration + map update)
+per frame.  Baseline = the 10 Hz real-time input rate the reference is
+engineered to keep up with ("real time" ``README.md:9``); the driver
+target is >2× that on a single TPU chip (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "odometry_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 10.0}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from loam_livox_tpu.core.config import SlamConfig
+    from loam_livox_tpu.io.simulator import LivoxSimulator, SimConfig
+    from loam_livox_tpu.runtime.odometry import init_state
+    from loam_livox_tpu.runtime.pipeline import process_raw_frame
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+    pts_per_frame = 10000
+    cap = 16384
+
+    cfg = SlamConfig().replace(
+        mapping={"init_accumulate_frames": 10},
+    )
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+
+    sim = LivoxSimulator(SimConfig(points_per_frame=pts_per_frame))
+    raw = []
+    for i in range(n_frames + warmup):
+        xyz, inten, t0 = sim.frame(i)
+        pts = np.zeros((cap, 3), np.float32)
+        it = np.zeros((cap,), np.float32)
+        m = np.zeros((cap,), bool)
+        pts[:pts_per_frame] = xyz
+        it[:pts_per_frame] = inten
+        m[:pts_per_frame] = True
+        raw.append((jnp.asarray(pts), jnp.asarray(it), jnp.asarray(m),
+                    jnp.float32(t0)))
+
+    state = init_state(cfg)
+
+    def process(state, pts, inten, mask, t0):
+        state, reg, _ = process_raw_frame(state, pts, inten, mask, t0, cfg,
+                                          piecewise_number=1)
+        return state, reg
+
+    # warmup (compile + map init)
+    for i in range(warmup):
+        state, reg = process(state, *raw[i])
+    jax.block_until_ready(state)
+
+    t_start = time.perf_counter()
+    for i in range(warmup, warmup + n_frames):
+        state, reg = process(state, *raw[i])
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+
+    fps = n_frames / wall
+    print(json.dumps({
+        "metric": "odometry_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
