@@ -133,6 +133,10 @@ class LoopClosureConfig:
     map_alignment_inlier_threshold: float = 0.20
     map_alignment_if_dump_matching_result: int = 0
     scene_alignment_maximum_residual_block: int = 3000
+    # Histogram nonzero-ratio floors for loop candidates (reference
+    # hardcodes 0.05/0.03 for 300-scan keyframes, laser_mapping.hpp:894-895)
+    avail_ratio_plane: float = 0.05
+    avail_ratio_line: float = 0.03
 
 
 @dataclass(frozen=True)

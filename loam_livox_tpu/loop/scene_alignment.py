@@ -1,0 +1,138 @@
+"""Map-to-map scene alignment for loop-closure verification — TPU
+re-design of `Scene_alignment` (reference:
+``source/scene_alignment.hpp:220-391``).
+
+Registers keyframe B's feature cells onto keyframe A's with the same
+scan-to-map ICP used for odometry, but in the reference's relaxed
+loop-closure configuration (``init()``/``find_tranfrom_of_two_mappings``):
+
+* plane residuals only (``ICP_LINE = 0``, :233),
+* initial translation = difference of keyframe centers (:303-306),
+* coarse-to-fine: leaves ×8 → ×4 → ×1 of ``map_alignment_resolution``
+  (:313-330), doubling the ICP iteration budget at the finest scale
+  (:325-328),
+* inlier distance 0.2 m, residual cap 3000, effectively-disabled
+  degeneracy gates (:238-244),
+* early break when a scale's inlier score is > 2× the accept threshold
+  (:352-353).
+
+Returns the transform taking keyframe-B coordinates into keyframe-A's
+frame plus the inlier-threshold score the loop gate compares against
+``map_alignment_inlier_threshold`` (reference laser_mapping.hpp:1054).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SlamConfig
+from ..core.types import PointBatch
+from ..map.cell_map import (
+    FEATURE_LINE,
+    FEATURE_PLANE,
+    CellMap,
+    cell_features,
+    gather_cell_points,
+)
+from ..ops.voxel import voxel_downsample
+from ..registration.icp import register_frame
+
+
+class AlignmentResult(NamedTuple):
+    q: jax.Array                # B → A rotation (wxyz)
+    t: jax.Array                # B → A translation
+    inlier_threshold: jax.Array  # the accept score (lower = better)
+    scales_run: int
+
+
+def extract_cells_of_type(m: CellMap, member: jax.Array, ftype: int
+                          ) -> PointBatch:
+    """Point pools of the member cells classified as `ftype`
+    (reference `extract_specify_points`, cell_map_keyframe.hpp:974-988)."""
+    feats = cell_features(m)
+    sel = member & m.valid() & (feats.feature_type == ftype)
+    return gather_cell_points(m, sel)
+
+
+def _loop_cfg(base: SlamConfig, icp_iterations: int) -> SlamConfig:
+    lc = base.loop_closure
+    return base.replace(
+        optimization={
+            # reference scene_alignment.hpp:233-244, 296-300
+            "icp_maximum_iteration": icp_iterations,
+            "inlier_dis": 0.2,
+            "maximum_residual_blocks": lc.scene_alignment_maximum_residual_block,
+            "subsample_residuals": 0,
+            "max_allow_final_cost": 1e9,     # m_max_final_cost = 20000
+            "max_allow_incre_R": 1e9,        # max_angular_rate 360*57.3
+            "max_allow_incre_T": 1e6,        # max_speed 1000
+            "full_iterations": 8,
+        },
+        common={"if_motion_deblur": 0},
+    )
+
+
+def align_keyframes(
+    src_line: PointBatch,
+    src_plane: PointBatch,
+    tgt_line: PointBatch,
+    tgt_plane: PointBatch,
+    center_a: jax.Array,
+    center_b: jax.Array,
+    cfg: SlamConfig,
+    rng_key=None,
+    work_capacity: int = 8192,
+) -> AlignmentResult:
+    """Align keyframe B (tgt_*) onto keyframe A (src_*).
+
+    Host-level coarse-to-fine driver over jitted registrations: three
+    fixed scales with a Python early-break — mirrors the reference's
+    host loop (it is not on the real-time critical path).
+
+    `work_capacity` bounds the downsampled point batches entering the
+    ICP (the voxel filters pick the lexicographically smallest voxels
+    past it; the reference caps residuals at 3000 anyway)."""
+    lc = cfg.loop_closure
+    line_res = lc.map_alignment_resolution
+    plane_res = lc.map_alignment_resolution
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(7)
+
+    q = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    t = (center_a - center_b).astype(jnp.float32)
+    inlier = jnp.float32(1e9)
+
+    scales_run = 0
+    for scale in (8, 4, 1):
+        iters = lc.map_alignment_maximum_icp_iteration * (2 if scale == 1 else 1)
+        loop_cfg = _loop_cfg(cfg, iters)
+        lr = max(line_res * scale, line_res)
+        pr = max(plane_res * scale, plane_res)
+
+        map_line = voxel_downsample(src_line, lr, capacity=work_capacity)
+        map_plane = voxel_downsample(src_plane, pr, capacity=work_capacity)
+        frm_line = voxel_downsample(tgt_line, lr, capacity=work_capacity)
+        frm_plane = voxel_downsample(tgt_plane, pr, capacity=work_capacity)
+
+        # Plane-only (ICP_LINE=0): blank the line frame so no line
+        # residuals form; keep the line map non-empty for the map gate.
+        frm_line = frm_line._replace(mask=jnp.zeros_like(frm_line.mask))
+
+        rng_key, sub = jax.random.split(rng_key)
+        reg = register_frame(
+            frm_line, frm_plane, map_line, map_plane,
+            q, t,
+            jnp.float32(0.0), jnp.float32(1.0),
+            jnp.asarray(True), sub, loop_cfg,
+        )
+        q, t = reg.q_w, reg.t_w
+        inlier = reg.inlier_threshold
+        scales_run += 1
+        if float(inlier) > 2.0 * lc.map_alignment_inlier_threshold:
+            break  # reference :352-353
+
+    return AlignmentResult(q=q, t=t, inlier_threshold=inlier,
+                           scales_run=scales_run)

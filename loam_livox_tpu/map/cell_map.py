@@ -140,7 +140,7 @@ def _lookup(keys_sorted: jax.Array, query: jax.Array):
 
 @partial(jax.jit, static_argnames=("max_new",))
 def append_cloud(m: CellMap, batch: PointBatch, revisit_threshold,
-                 max_new: int = 1024) -> CellMap:
+                 max_new: int = 1024):
     """Insert a (world-frame) point batch: create missing cells, handle
     revisits, update moments and point pools, bump the frame index
     (reference: ``append_cloud``, cell_map_keyframe.hpp:619-672).
@@ -148,6 +148,11 @@ def append_cloud(m: CellMap, batch: PointBatch, revisit_threshold,
     ``max_new`` caps new cells per call (static shape); excess points
     fall into existing cells only.  If the directory overflows, the
     largest keys are dropped (the reference grows without bound).
+
+    Returns ``(new_map, touched3)`` where ``touched3`` is the (C,) bool
+    mask of directory slots that received ≥ 3 points from this batch —
+    the keyframe cell-membership signal (reference `append_cloud`'s
+    ``cell_vec`` out-param with its ≥3 count filter, :646-668).
     """
     C = m.capacity
     P = m.pool_size
@@ -220,6 +225,7 @@ def append_cloud(m: CellMap, batch: PointBatch, revisit_threshold,
         jnp.where(valid_s[:, None], xyz_s, 0.0), mode="drop"
     ).reshape(C, P, 3)
 
+    touched3 = added >= 3.0
     return CellMap(
         cell_size=m.cell_size,
         keys=merged,
@@ -230,7 +236,17 @@ def append_cloud(m: CellMap, batch: PointBatch, revisit_threshold,
         last_update_frame=last_upd,
         create_frame=created,
         frame_idx=m.frame_idx + 1,
-    )
+    ), touched3
+
+
+def member_mask_from_keys(m: CellMap, keys: jax.Array) -> jax.Array:
+    """(C,) bool — directory slots whose key appears in `keys` (pad
+    `keys` with EMPTY_KEY).  Keyframes store member-cell *keys* (stable
+    across directory re-sorts); this rebinds them to current slots."""
+    slot, found = _lookup(m.keys, keys)
+    ok = found & (keys != EMPTY_KEY)
+    out = jnp.zeros((m.capacity,), bool)
+    return out.at[slot].max(ok, mode="drop")
 
 
 class CellFeatures(NamedTuple):

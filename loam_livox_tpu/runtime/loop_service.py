@@ -1,0 +1,242 @@
+"""Loop-closure service — host-side driver re-designing the reference's
+`service_loop_detection` thread (reference:
+``source/laser_mapping.hpp:874-1148``) plus the keyframe production in
+`process_new_scan` (``:1523-1564``).
+
+The reference runs this as a detached thread consuming finished
+keyframes; here it is a host object the pipeline calls after each
+odometry step — the heavy numerics (descriptors, similarity, scene
+alignment, pose-graph solve) are jitted device programs, the gates and
+bookkeeping are Python (they run once per keyframe, ~every 10 s of
+sensor time).
+
+Behavioral parity:
+* overlapping keyframe accumulators: a new one every
+  ``scans_between_two_keyframe`` frames, each completes after
+  ``scans_of_each_keyframe`` frames (reference :1533-1560),
+* cells with ≥3 points this frame join every open accumulator
+  (reference append_cloud's cell_vec filter),
+* candidate gates in order (reference :988-1033): minimum keyframe
+  index separation; nonzero-ratio floors (plane 0.05 / line 0.03);
+  |roi_range difference| ≤ 5 m; similarity (plane > planar-threshold,
+  OR line > linear-threshold AND plane > 0.92); cell-count balance —
+  NOTE the reference's expression
+  ``(a.size()-b.size())/(a.size()+b.size())*0.1`` is unsigned integer
+  arithmetic whose de-facto effect is "skip iff candidate has more
+  cells than the current keyframe"; reproduced as exactly that,
+* ICP verification: score > 2× threshold → skip 10 candidates ahead;
+  accept < threshold; in between → skip 5 (reference :1048-1108),
+* on accept: pose graph (odometry chain + one loop edge) solved, poses
+  output, service ends (one-shot ``if_end``; reference :1110-1147).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.config import SlamConfig
+from ..loop.keyframe import KeyframeDescriptor, describe_keyframe, max_similarity
+from ..loop.pose_graph import (
+    PoseGraph,
+    add_loop_edge,
+    build_odometry_chain,
+    optimize_pose_graph,
+)
+from ..loop.scene_alignment import align_keyframes, extract_cells_of_type
+from ..map.cell_map import (
+    FEATURE_LINE,
+    FEATURE_PLANE,
+    CellMap,
+    member_mask_from_keys,
+)
+
+
+
+@dataclass
+class KeyframeRecord:
+    keys: np.ndarray              # member cell keys (int32)
+    q: np.ndarray                 # (4,) world pose at completion
+    t: np.ndarray                 # (3,)
+    ending_frame_idx: int
+    descriptor: Optional[KeyframeDescriptor] = None
+
+
+@dataclass
+class _Accumulator:
+    keys: set = field(default_factory=set)
+    frames: int = 0
+
+
+@dataclass
+class LoopClosureResult:
+    accepted: bool
+    his_idx: int
+    cur_idx: int
+    icp_score: float
+    q_opt: Optional[np.ndarray] = None   # optimized keyframe poses
+    t_opt: Optional[np.ndarray] = None
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.lc = cfg.loop_closure
+        self.keyframes: List[KeyframeRecord] = []
+        self.updating: List[_Accumulator] = [_Accumulator()]
+        self.closed = False
+        self.result: Optional[LoopClosureResult] = None
+
+    # ---- per-frame accumulation -----------------------------------------
+    def on_frame(self, cell_full: CellMap, touched: jax.Array,
+                 q_w, t_w, frame_idx: int) -> Optional[KeyframeRecord]:
+        """Feed one registered frame's touched-cell mask.  Returns a
+        completed keyframe (already analyzed) when one closes."""
+        if self.closed:
+            return None
+        tkeys = np.asarray(cell_full.keys)[np.asarray(touched)]
+        for acc in self.updating:
+            acc.keys.update(int(k) for k in tkeys)
+            acc.frames += 1
+
+        completed = None
+        if self.updating[0].frames >= self.lc.scans_of_each_keyframe:
+            acc = self.updating.pop(0)
+            completed = KeyframeRecord(
+                keys=np.fromiter(acc.keys, np.int32, len(acc.keys)),
+                q=np.asarray(q_w), t=np.asarray(t_w),
+                ending_frame_idx=frame_idx,
+            )
+            self.process_keyframe(completed, cell_full)
+        if self.updating[-1].frames >= self.lc.scans_between_two_keyframe:
+            self.updating.append(_Accumulator())
+        return completed
+
+    # ---- keyframe analysis + loop scan ----------------------------------
+    def _member(self, m: CellMap, rec: KeyframeRecord) -> jax.Array:
+        cap = m.capacity
+        keys = np.full((max(len(rec.keys), 1),), 2**31 - 1, np.int32)
+        keys[: len(rec.keys)] = rec.keys
+        return member_mask_from_keys(m, jnp.asarray(keys))
+
+    def process_keyframe(self, rec: KeyframeRecord, m: CellMap) -> None:
+        member = self._member(m, rec)
+        rec.descriptor = jax.device_get(describe_keyframe(m, member))
+        self.keyframes.append(rec)
+        if self.closed or not self.lc.if_enable_loop_closure:
+            return
+        self._scan_for_loop(m)
+
+    def _scan_for_loop(self, m: CellMap) -> None:
+        last = self.keyframes[-1]
+        d_last = last.descriptor
+        n = len(self.keyframes)
+        his = 0
+        while his < n - 1:
+            if n - his < self.lc.minimum_keyframe_differen:
+                break  # all further candidates are too recent
+            d_his = self.keyframes[his].descriptor
+            if (d_his.ratio_nonzero_plane < self.lc.avail_ratio_plane
+                    and d_his.ratio_nonzero_line < self.lc.avail_ratio_line):
+                his += 1
+                continue
+            if abs(float(d_his.roi_range) - float(d_last.roi_range)) > 5.0:
+                his += 1
+                continue
+            sim_plane = float(max_similarity(
+                jnp.asarray(d_last.img_plane), jnp.asarray(d_his.img_plane)))
+            sim_line = float(max_similarity(
+                jnp.asarray(d_last.img_line), jnp.asarray(d_his.img_line)))
+            ok = ((sim_line > self.lc.minimum_similarity_linear
+                   and sim_plane > 0.92)
+                  or sim_plane > self.lc.minimum_similarity_planar)
+            if not ok:
+                his += 1
+                continue
+            # cell-count balance — the reference's de-facto behavior
+            # (see module docstring)
+            if int(d_his.n_cells) > int(d_last.n_cells):
+                his += 1
+                continue
+            res = self._verify_icp(m, last, self.keyframes[his])
+            score = float(res.inlier_threshold)
+            if score > 2.0 * self.lc.map_alignment_inlier_threshold:
+                his += 11
+                continue
+            if score < self.lc.map_alignment_inlier_threshold:
+                self._accept_loop(his, n - 1, res)
+                return
+            his += 6
+
+    def _verify_icp(self, m: CellMap, last: KeyframeRecord,
+                    his: KeyframeRecord):
+        member_a = self._member(m, last)
+        member_b = self._member(m, his)
+        src_line = extract_cells_of_type(m, member_a, FEATURE_LINE)
+        src_plane = extract_cells_of_type(m, member_a, FEATURE_PLANE)
+        tgt_line = extract_cells_of_type(m, member_b, FEATURE_LINE)
+        tgt_plane = extract_cells_of_type(m, member_b, FEATURE_PLANE)
+        return align_keyframes(
+            src_line, src_plane, tgt_line, tgt_plane,
+            jnp.asarray(last.descriptor.center),
+            jnp.asarray(his.descriptor.center),
+            self.cfg)
+
+    def _accept_loop(self, his_idx: int, cur_idx: int, align) -> None:
+        qs = jnp.asarray(np.stack([k.q for k in self.keyframes]), jnp.float32)
+        ts = jnp.asarray(np.stack([k.t for k in self.keyframes]), jnp.float32)
+        n = qs.shape[0]
+        g = build_odometry_chain(qs, ts, capacity_edges=n)
+        # loop edge cur → his: the alignment moved the HISTORICAL
+        # keyframe cloud into the CURRENT (drifted) frame, so the
+        # corrected world pose of `his` is icp ∘ pose_his; the measured
+        # relative pose is T_cur⁻¹ ∘ (icp ∘ T_his)
+        # (reference laser_mapping.hpp:1062-1083 +
+        # scene_alignment.hpp:97-129 — composed into one step here).
+        icp_q, icp_t = align.q, align.t
+        q_cur = qs[cur_idx]
+        t_cur = ts[cur_idx]
+        rel_q = se3.quat_multiply(
+            se3.quat_conjugate(q_cur),
+            se3.quat_multiply(icp_q, qs[his_idx]))
+        rel_t = se3.quat_rotate(
+            se3.quat_conjugate(q_cur),
+            se3.quat_rotate(icp_q, ts[his_idx]) + icp_t - t_cur)
+        g = add_loop_edge(g, n - 1, cur_idx, his_idx, rel_q, rel_t)
+        q_opt, t_opt, cost = optimize_pose_graph(g)
+        self.closed = True   # one-shot (reference if_end, :1110)
+        self.result = LoopClosureResult(
+            accepted=True, his_idx=his_idx, cur_idx=cur_idx,
+            icp_score=float(align.inlier_threshold),
+            q_opt=np.asarray(q_opt), t_opt=np.asarray(t_opt),
+        )
+
+    # ---- map refinement (reference Mapping_refine, ------------------
+    # ceres_pose_graph_3d.hpp:437-500) ---------------------------------
+    def refine_keyframe_cloud(self, m: CellMap, idx: int) -> np.ndarray:
+        """Member cell points of keyframe `idx`, re-transformed by
+        (T_opt · T_ori⁻¹) — the post-loop map correction."""
+        assert self.result is not None and self.result.accepted
+        rec = self.keyframes[idx]
+        from ..map.cell_map import gather_cell_points
+
+        member = self._member(m, rec)
+        pts = gather_cell_points(m, member)
+        xyz = np.asarray(pts.xyz)[np.asarray(pts.mask)]
+        q_ori, t_ori = rec.q, rec.t
+        q_opt = self.result.q_opt[idx]
+        t_opt = self.result.t_opt[idx]
+        # T_corr = T_opt ∘ T_ori⁻¹
+        q_oi = np.asarray(se3.quat_conjugate(jnp.asarray(q_ori, jnp.float32)))
+        q_corr = np.asarray(se3.quat_multiply(jnp.asarray(q_opt, jnp.float32),
+                                              jnp.asarray(q_oi)))
+        R_oi = np.asarray(se3.quat_to_matrix(jnp.asarray(q_oi)))
+        t_corr = (t_opt + np.asarray(se3.quat_rotate(
+            jnp.asarray(q_opt, jnp.float32),
+            jnp.asarray(R_oi @ (-t_ori), jnp.float32))))
+        R_corr = np.asarray(se3.quat_to_matrix(jnp.asarray(q_corr, jnp.float32)))
+        return xyz @ R_corr.T + t_corr

@@ -82,6 +82,12 @@ class OdometryState(NamedTuple):
     # matching source in cell mode, keyframe source for loop closure.
     cell_corners: CellMap
     cell_planes: CellMap
+    # Full-resolution cell map + per-step touched-cell mask — the
+    # keyframe accumulation signal (reference: m_pt_cell_map_full +
+    # append_cloud's cell_vec, laser_mapping.hpp:1526-1530).  Size-1
+    # dummies when loop closure is off.
+    cell_full: CellMap
+    last_touched: jax.Array        # (C_full,) bool
     # Matching buffer (reference: *_from_map_last, :551-559).
     map_corners: PointBatch
     map_surface: PointBatch
@@ -109,6 +115,14 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         cell_planes=empty_cell_map(cfg.mapping.cell_resolution * 0.5,
                                    caps.cell_capacity,
                                    caps.cell_point_capacity),
+        cell_full=(
+            empty_cell_map(cfg.mapping.cell_resolution * 0.5,
+                           caps.cell_capacity, caps.cell_point_capacity)
+            if cfg.loop_closure.if_enable_loop_closure
+            else empty_cell_map(cfg.mapping.cell_resolution * 0.5, 1, 1)),
+        last_touched=jnp.zeros(
+            (caps.cell_capacity
+             if cfg.loop_closure.if_enable_loop_closure else 1,), bool),
         map_corners=PointBatch.empty(caps.map_corner_capacity),
         map_surface=PointBatch.empty(caps.map_surf_capacity),
         rng=jax.random.PRNGKey(0),
@@ -242,14 +256,29 @@ def odometry_step(
     # immaterial at the shipped revisit thresholds of 2000/100000.)
     revisit = cfg.common.threshold_cell_revisit
     max_new = caps.cell_max_new_per_frame
-    cell_corners = append_cloud(
+    cell_corners, _ = append_cloud(
         state.cell_corners,
         corner_w._replace(mask=corner_w.mask & admit),
         revisit, max_new=max_new)
-    cell_planes = append_cloud(
+    cell_planes, _ = append_cloud(
         state.cell_planes,
         surf_w._replace(mask=surf_w.mask & admit),
         revisit, max_new=max_new)
+
+    # Full-cloud cell map for keyframes (reference :1526-1530): the
+    # registered full cloud, world-transformed with deblur.
+    if cfg.loop_closure.if_enable_loop_closure:
+        s_f = refine_blur(frame.full.time, frame.time_min, frame.time_max,
+                          deblur)
+        full_w = frame.full._replace(
+            xyz=res.transform_points_incre(
+                reg.q_incre, reg.t_incre, frame.full.xyz, s_f,
+                state.q_w, state.t_w, deblur),
+            mask=frame.full.mask & admit)
+        cell_full, last_touched = append_cloud(
+            state.cell_full, full_w, revisit, max_new=max_new)
+    else:
+        cell_full, last_touched = state.cell_full, state.last_touched
 
     # ---- matching-buffer rebuild (cadenced; see module doc) -------------
     mid_state = state._replace(
@@ -283,6 +312,8 @@ def odometry_step(
         last_his_t=last_his_t,
         cell_corners=cell_corners,
         cell_planes=cell_planes,
+        cell_full=cell_full,
+        last_touched=last_touched,
         map_corners=map_corners,
         map_surface=map_surface,
         rng=rng,

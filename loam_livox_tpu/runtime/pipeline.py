@@ -98,12 +98,19 @@ class TrajectoryRecord:
 
 
 class OdometryPipeline:
-    """Feature extraction + odometry over a stream of raw frames."""
+    """Feature extraction + odometry over a stream of raw frames; with
+    loop closure enabled, also drives the keyframe/loop service
+    (reference: the `service_loop_detection` thread)."""
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         self.state: OdometryState = init_state(cfg)
         self.trajectory = TrajectoryRecord()
+        self.loop_closer = None
+        if cfg.loop_closure.if_enable_loop_closure:
+            from .loop_service import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg)
 
     def process_raw(self, xyz: np.ndarray, intensity: np.ndarray,
                     base_time: float) -> None:
@@ -130,6 +137,16 @@ class OdometryPipeline:
             self.trajectory.positions.append(t_ws[p])
             self.trajectory.quaternions.append(q_ws[p])
             self.trajectory.accepted.append(bool(accepted[p]))
+
+        if self.loop_closer is not None and not self.loop_closer.closed:
+            # Keyframe accumulation consumes the last piece's
+            # touched-cell mask (with piecewise > 1 the intermediate
+            # pieces' masks are folded into the same raw frame —
+            # keyframe cadence then counts raw frames, a documented
+            # divergence from the reference's per-piece counting).
+            self.loop_closer.on_frame(
+                self.state.cell_full, self.state.last_touched,
+                q_ws[-1], t_ws[-1], int(self.state.frame_count))
 
     def process_feature_frame(self, frame: FeatureFrame) -> None:
         self.state, reg = odometry_step(self.state, frame, self.cfg)

@@ -25,9 +25,9 @@ cfg = SlamConfig().replace(
         "hist_surf_capacity": 1024,
         "history_window": 32,
     },
-    common={"piecewise_number": 3},
+    common={"piecewise_number": 1},
     mapping={"init_accumulate_frames": 10},
-    optimization={"icp_maximum_iteration": 6, "full_iterations": 5},
+    optimization={"icp_maximum_iteration": 5, "full_iterations": 4},
 )
 
 sim = LivoxSimulator(SimConfig(points_per_frame=8192))

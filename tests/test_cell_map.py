@@ -35,7 +35,7 @@ def batch_of(pts, cap=256):
 class TestDirectory:
     def test_points_in_same_cell_share_one_cell(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m = append_cloud(m, batch_of([[0.1, 0.1, 0.1], [0.4, 0.2, 0.3]]),
+        m, _ = append_cloud(m, batch_of([[0.1, 0.1, 0.1], [0.4, 0.2, 0.3]]),
                          BIG_REVISIT, max_new=16)
         assert int(m.n_cells()) == 1
         assert float(m.count.max()) == 2.0
@@ -44,11 +44,11 @@ class TestDirectory:
         # find_cell_center: center = round((p - s/2)/s)*s + s/2
         # (reference cell_map_keyframe.hpp:556-571)
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m = append_cloud(m, batch_of([[0.2, 0.2, 0.2]]), BIG_REVISIT, max_new=16)
+        m, _ = append_cloud(m, batch_of([[0.2, 0.2, 0.2]]), BIG_REVISIT, max_new=16)
         centers = np.asarray(m.centers())[np.asarray(m.valid())]
         np.testing.assert_allclose(centers[0], [0.5, 0.5, 0.5], atol=1e-6)
         m2 = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m2 = append_cloud(m2, batch_of([[-0.2, 1.7, 0.0]]), BIG_REVISIT, max_new=16)
+        m2, _ = append_cloud(m2, batch_of([[-0.2, 1.7, 0.0]]), BIG_REVISIT, max_new=16)
         centers = np.asarray(m2.centers())[np.asarray(m2.valid())]
         np.testing.assert_allclose(centers[0], [-0.5, 1.5, 0.5], atol=1e-6)
 
@@ -56,10 +56,10 @@ class TestDirectory:
         rng = np.random.default_rng(0)
         pts = rng.uniform(-3, 3, (100, 3)).astype(np.float32)
         m1 = empty_cell_map(1.0, capacity=512, pool_size=16)
-        m1 = append_cloud(m1, batch_of(pts), BIG_REVISIT, max_new=256)
+        m1, _ = append_cloud(m1, batch_of(pts), BIG_REVISIT, max_new=256)
         m2 = empty_cell_map(1.0, capacity=512, pool_size=16)
         for chunk in np.array_split(pts, 4):
-            m2 = append_cloud(m2, batch_of(chunk), BIG_REVISIT, max_new=256)
+            m2, _ = append_cloud(m2, batch_of(chunk), BIG_REVISIT, max_new=256)
         assert int(m1.n_cells()) == int(m2.n_cells())
         np.testing.assert_allclose(np.asarray(m1.count).sum(),
                                    np.asarray(m2.count).sum())
@@ -73,7 +73,7 @@ class TestDirectory:
         b = batch_of([[0, 0, 0], [5, 5, 5]])
         b = b._replace(mask=b.mask.at[1].set(False))
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m = append_cloud(m, b, BIG_REVISIT, max_new=16)
+        m, _ = append_cloud(m, b, BIG_REVISIT, max_new=16)
         assert int(m.n_cells()) == 1
 
 
@@ -82,7 +82,7 @@ class TestMoments:
         rng = np.random.default_rng(1)
         pts = (rng.normal(scale=0.2, size=(60, 3)) + [5.0, 5.0, 5.0]).astype(np.float32)
         m = empty_cell_map(10.0, capacity=16, pool_size=64)
-        m = append_cloud(m, batch_of(pts, cap=128), BIG_REVISIT, max_new=8)
+        m, _ = append_cloud(m, batch_of(pts, cap=128), BIG_REVISIT, max_new=8)
         f = cell_features(m)
         i = int(np.asarray(m.valid()).nonzero()[0][0])
         np.testing.assert_allclose(np.asarray(f.mean)[i], pts.mean(0), atol=1e-4)
@@ -92,7 +92,7 @@ class TestMoments:
 class TestFeatureClassification:
     def make_map_with(self, pts):
         m = empty_cell_map(10.0, capacity=16, pool_size=128)
-        return append_cloud(m, batch_of(pts, cap=256), BIG_REVISIT, max_new=8)
+        return append_cloud(m, batch_of(pts, cap=256), BIG_REVISIT, max_new=8)[0]
 
     def test_plane(self):
         rng = np.random.default_rng(2)
@@ -129,12 +129,12 @@ class TestRevisit:
     def test_revisit_resets_stats(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
         b = batch_of([[0.2, 0.2, 0.2]])
-        m = append_cloud(m, b, 5, max_new=16)          # frame 0
+        m, _ = append_cloud(m, b, 5, max_new=16)          # frame 0
         for _ in range(6):                              # advance frames with
-            m = append_cloud(m, batch_of([[9.5, 9.5, 9.5]]), 5, max_new=16)
+            m, _ = append_cloud(m, batch_of([[9.5, 9.5, 9.5]]), 5, max_new=16)
         assert float(m.count.max()) >= 6.0              # far cell accumulated
         # revisit the original cell after gap ≥ 5 frames → reset to 1 pt
-        m = append_cloud(m, b, 5, max_new=16)
+        m, _ = append_cloud(m, b, 5, max_new=16)
         keys = point_keys(m, b.xyz, b.mask)
         slot = int(np.searchsorted(np.asarray(m.keys), int(keys[0])))
         assert float(m.count[slot]) == 1.0
@@ -142,22 +142,22 @@ class TestRevisit:
     def test_no_reset_below_threshold(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
         b = batch_of([[0.2, 0.2, 0.2]])
-        m = append_cloud(m, b, BIG_REVISIT, max_new=16)
-        m = append_cloud(m, b, BIG_REVISIT, max_new=16)
+        m, _ = append_cloud(m, b, BIG_REVISIT, max_new=16)
+        m, _ = append_cloud(m, b, BIG_REVISIT, max_new=16)
         assert float(m.count.max()) == 2.0
 
 
 class TestQueries:
     def test_radius_query(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m = append_cloud(m, batch_of([[0.5, 0.5, 0.5], [8.5, 0.5, 0.5]]),
+        m, _ = append_cloud(m, batch_of([[0.5, 0.5, 0.5], [8.5, 0.5, 0.5]]),
                          BIG_REVISIT, max_new=16)
         sel = cells_in_radius(m, jnp.zeros(3), 2.0)
         assert int(sel.sum()) == 1
 
     def test_fov_gate(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
-        m = append_cloud(m, batch_of([[5.5, 0.5, 0.5], [-5.5, 0.5, 0.5]]),
+        m, _ = append_cloud(m, batch_of([[5.5, 0.5, 0.5], [-5.5, 0.5, 0.5]]),
                          BIG_REVISIT, max_new=16)
         q = jnp.array([1.0, 0, 0, 0])
         sel = cells_in_fov(m, jnp.zeros(3), q, 45.0)
@@ -167,7 +167,7 @@ class TestQueries:
     def test_gather_points(self):
         m = empty_cell_map(1.0, capacity=64, pool_size=8)
         pts = [[0.1, 0.2, 0.3], [0.15, 0.22, 0.31], [5.5, 5.5, 5.5]]
-        m = append_cloud(m, batch_of(pts), BIG_REVISIT, max_new=16)
+        m, _ = append_cloud(m, batch_of(pts), BIG_REVISIT, max_new=16)
         out = gather_cell_points(m, m.valid())
         got = np.asarray(out.xyz)[np.asarray(out.mask)]
         assert len(got) == 3
@@ -180,7 +180,7 @@ class TestQueries:
         m = empty_cell_map(1.0, capacity=16, pool_size=4)
         rng = np.random.default_rng(5)
         pts = (rng.uniform(0, 1, (10, 3)) * 0.9).astype(np.float32)
-        m = append_cloud(m, batch_of(pts), BIG_REVISIT, max_new=8)
+        m, _ = append_cloud(m, batch_of(pts), BIG_REVISIT, max_new=8)
         out = gather_cell_points(m, m.valid())
         assert int(out.mask.sum()) == 4   # pool capped
         assert float(m.count.max()) == 10.0  # moments see everything

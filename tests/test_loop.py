@@ -58,7 +58,7 @@ def map_of(pts, cap=2048, pool=64):
     mask[:n] = True
     b = PointBatch(xyz=jnp.asarray(padded), time=jnp.zeros(4096),
                    mask=jnp.asarray(mask))
-    return append_cloud(m, b, BIG, max_new=2048)
+    return append_cloud(m, b, BIG, max_new=2048)[0]
 
 
 class TestKeyframeDescriptor:
@@ -101,6 +101,49 @@ class TestKeyframeDescriptor:
         # discrimination.
         assert s_same > 0.65, f"rotated-same similarity {s_same}"
         assert s_same > max(s_diffs) + 0.05, (s_same, s_diffs)
+
+
+class TestSceneAlignment:
+    def test_recovers_known_offset(self):
+        """Two keyframes of the same world, B shifted/rotated — the
+        coarse-to-fine plane-only ICP must recover the B→A transform
+        (reference scene_alignment.hpp:261-391)."""
+        from loam_livox_tpu.core.config import SlamConfig
+        from loam_livox_tpu.loop.scene_alignment import (
+            align_keyframes, extract_cells_of_type)
+        from loam_livox_tpu.map.cell_map import FEATURE_LINE, FEATURE_PLANE
+
+        rng = np.random.default_rng(4)
+        world = structured_world(rng)
+        m_a = map_of(world)
+
+        ang = 0.06
+        q_off = np.array([np.cos(ang / 2), 0, 0, np.sin(ang / 2)], np.float32)
+        t_off = np.array([0.4, -0.25, 0.1], np.float32)
+        R = np.asarray(se3.quat_to_matrix(jnp.asarray(q_off)))
+        world_b = (world @ R.T) + t_off   # B sees the world moved
+        m_b = map_of(world_b)
+
+        src_line = extract_cells_of_type(m_a, m_a.valid(), FEATURE_LINE)
+        src_plane = extract_cells_of_type(m_a, m_a.valid(), FEATURE_PLANE)
+        tgt_line = extract_cells_of_type(m_b, m_b.valid(), FEATURE_LINE)
+        tgt_plane = extract_cells_of_type(m_b, m_b.valid(), FEATURE_PLANE)
+
+        ca = jnp.asarray(world.mean(0).astype(np.float32))
+        cb = jnp.asarray(world_b.mean(0).astype(np.float32))
+        cfg = SlamConfig()
+        res = align_keyframes(src_line, src_plane, tgt_line, tgt_plane,
+                              ca, cb, cfg, work_capacity=2048)
+        # B→A should invert the offset: q ≈ q_off⁻¹? B points = R w + t;
+        # aligning B onto A: p_a = R_ba p_b + t_ba with R_ba = R⁻¹.
+        q_ba = np.asarray(se3.quat_conjugate(jnp.asarray(q_off)))
+        ang_err = float(se3.quat_angular_distance(
+            jnp.asarray(q_ba), res.q)) * 57.3
+        t_ba = -(R.T @ t_off)
+        t_err = np.linalg.norm(np.asarray(res.t) - t_ba)
+        assert ang_err < 1.0, f"angular error {ang_err} deg"
+        assert t_err < 0.1, f"translation error {t_err}"
+        assert float(res.inlier_threshold) < 0.2
 
 
 class TestPoseGraph:
