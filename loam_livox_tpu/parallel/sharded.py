@@ -56,8 +56,7 @@ def knn_sharded(
 
     def local(q, ref, mask):
         # q: (Q, 3) replicated; ref: (M/n, 3); mask: (M/n,)
-        d, i = knn_local(q, ref, mask, k=k,
-                         ref_tile=min(ref_tile, shard_m))
+        d, i = knn_local(q, ref, mask, k=k)
         base = lax.axis_index(axis) * shard_m
         cand_d = lax.all_gather(d, axis)            # (n, Q, k)
         cand_i = lax.all_gather(i + base, axis)     # (n, Q, k)

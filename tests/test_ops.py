@@ -19,7 +19,7 @@ class TestKnn:
         q = rng.normal(size=(100, 3)).astype(np.float32) * 5
         r = rng.normal(size=(512, 3)).astype(np.float32) * 5
         d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(r),
-                           jnp.ones(512, bool), k=5, ref_tile=128)
+                           jnp.ones(512, bool), k=5, query_tile=128)
         tree = cKDTree(r)
         td, ti = tree.query(q, k=5)
         np.testing.assert_allclose(np.sqrt(np.asarray(d)), td, atol=1e-3)
@@ -33,22 +33,22 @@ class TestKnn:
                       np.full(3, 0.2, np.float32),
                       np.full(3, 0.3, np.float32)])
         mask = jnp.array([False, True, True, True])
-        d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), mask, k=2, ref_tile=4)
+        d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), mask, k=2, query_tile=4)
         assert int(i[0, 0]) == 2 and int(i[0, 1]) == 3
 
     def test_fewer_valid_than_k(self, rng):
         q = np.zeros((1, 3), np.float32)
         r = rng.normal(size=(8, 3)).astype(np.float32)
         mask = jnp.array([True] + [False] * 7)
-        d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), mask, k=3, ref_tile=8)
+        d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), mask, k=3, query_tile=8)
         assert int(i[0, 0]) == 0
         assert float(d[0, 1]) > 1e29 and float(d[0, 2]) > 1e29
 
     def test_multi_tile_indices_global(self, rng):
         q = rng.normal(size=(16, 3)).astype(np.float32)
         r = rng.normal(size=(256, 3)).astype(np.float32)
-        d1, i1 = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(256, bool), k=4, ref_tile=64)
-        d2, i2 = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(256, bool), k=4, ref_tile=256)
+        d1, i1 = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(256, bool), k=4, query_tile=64)
+        d2, i2 = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(256, bool), k=4, query_tile=256)
         np.testing.assert_allclose(d1, d2, atol=1e-4)
         np.testing.assert_array_equal(i1, i2)
 
