@@ -90,6 +90,17 @@ class OptimizationConfig:
     # reference; if 0, keep all residuals (the TPU-native default — the
     # batched solver is not residual-count bound).
     subsample_residuals: int = 0
+    # Correspondence engine: "dense" = brute-force MXU kNN (exact, and
+    # measured faster on TPU up to ~10^5 map points — gathers lose to
+    # matmuls); "grid" = 27-bucket grid-hash search (ops.bucket_grid,
+    # ~100× less arithmetic — the crossover choice for much larger
+    # matching buffers).
+    correspondence: str = "dense"
+    # Bucket sizes bound the search radius (±1 bucket); defaults sized
+    # for the shipped resolutions vs the match gates
+    # (maximum_dis_line/plane_for_match).
+    corner_bucket_size: float = 1.5
+    surf_bucket_size: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -148,11 +159,16 @@ class CapacityConfig:
     max_splits: int = 512              # petal turning-point candidates
     max_corner: int = 1024             # padded corner features per frame
     max_surface: int = 4096            # padded surface features per frame
-    map_corner_capacity: int = 32768   # matching-buffer corner points
-    map_surf_capacity: int = 131072    # matching-buffer surface points
+    map_corner_capacity: int = 16384   # matching-buffer corner points
+    map_surf_capacity: int = 65536     # matching-buffer surface points
     cell_capacity: int = 8192          # cell-map directory slots
     cell_point_capacity: int = 32      # points retained per cell (ring pool)
     cell_max_new_per_frame: int = 512  # new cells creatable per frame
+    # Bucket-grid correspondence structure (ops.bucket_grid)
+    corner_bucket_count: int = 8192
+    corner_bucket_cap: int = 32
+    surf_bucket_count: int = 16384
+    surf_bucket_cap: int = 16
     knn_query_tile: int = 512          # kNN query chunking
     history_window: int = 64           # registered frames kept for matching
     # per-frame capacities of the history ring buffers (world-frame,

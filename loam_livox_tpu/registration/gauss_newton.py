@@ -31,6 +31,12 @@ from .residuals import huber_rho, huber_weight
 
 # f(q, t) -> (residuals (N, 3), block_mask (N,))
 ResidualFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+# fj(q, t) -> (residuals (N, 3), jacobian (N, 3, 6), block_mask (N,))
+# Optional analytic-Jacobian variant; when provided the solver skips
+# the 6 forward-mode passes of `jax.jacfwd` (the deblur-off transform
+# has a closed form — residuals.point_world_jacobian).
+ResidualJacFn = Callable[
+    [jax.Array, jax.Array], Tuple[jax.Array, jax.Array, jax.Array]]
 
 
 class SolveInfo(NamedTuple):
@@ -46,18 +52,21 @@ def _cost(r: jax.Array, mask: jax.Array, delta: float) -> jax.Array:
     return 0.5 * jnp.sum(jnp.where(mask, huber_rho(s, delta), 0.0))
 
 
-def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float):
+def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,
+                   fj: ResidualJacFn | None = None):
     """Huber-weighted J^T J (6×6) and J^T r (6,) at the current point."""
+    if fj is not None:
+        r0, J, mask = fj(q, t)
+    else:
+        def res_of_delta(dd):
+            q_new = se3.quat_normalize(
+                se3.quat_multiply(se3.quat_exp(dd[:3]), q))
+            t_new = t + dd[3:]
+            return f(q_new, t_new)[0]
 
-    def res_of_delta(dd):
-        q_new = se3.quat_normalize(
-            se3.quat_multiply(se3.quat_exp(dd[:3]), q))
-        t_new = t + dd[3:]
-        return f(q_new, t_new)[0]
-
-    zero = jnp.zeros(6, q.dtype)
-    r0, mask = f(q, t)
-    J = jax.jacfwd(res_of_delta)(zero)          # (N, 3, 6)
+        zero = jnp.zeros(6, q.dtype)
+        r0, mask = f(q, t)
+        J = jax.jacfwd(res_of_delta)(zero)          # (N, 3, 6)
     s = jnp.sum(r0 * r0, axis=-1)
     w = jnp.where(mask, huber_weight(s, delta), 0.0)
     sw = jnp.sqrt(w)
@@ -91,13 +100,14 @@ def lm_solve(
     t0: jax.Array,
     iterations: int,
     opt: OptimizationConfig,
+    fj: ResidualJacFn | None = None,
 ) -> LMState:
     """Fixed-iteration LM with accept/reject damping adaptation."""
     delta = opt.huber_delta
     tmax = opt.max_allow_incre_T
 
     def step(state: LMState, _):
-        H, g, _, _ = _normal_system(f, state.q, state.t, delta)
+        H, g, _, _ = _normal_system(f, state.q, state.t, delta, fj)
         dd = _solve_damped(H, g, state.lam)
         q_new = se3.quat_normalize(
             se3.quat_multiply(se3.quat_exp(dd[:3]), state.q))
@@ -126,18 +136,21 @@ def solve_two_phase(
     q0: jax.Array,
     t0: jax.Array,
     opt: OptimizationConfig,
+    fj_with_mask: Callable[[jax.Array], ResidualJacFn] | None = None,
 ):
     """The reference's prerun → prune → full-solve schedule.
 
     ``f_with_mask(extra_mask)`` must return a ResidualFn whose block
-    mask is (built-in validity ∧ extra_mask).
+    mask is (built-in validity ∧ extra_mask); ``fj_with_mask`` the
+    optional analytic-Jacobian counterpart.
 
     Returns (q, t, SolveInfo).  The exported inlier threshold is scaled
     by final/initial cost of the full solve, matching
     ``point_cloud_registration.hpp:559``.
     """
     f_all = f_with_mask(base_mask)
-    pre = lm_solve(f_all, q0, t0, opt.prerun_iterations, opt)
+    fj_all = fj_with_mask(base_mask) if fj_with_mask is not None else None
+    pre = lm_solve(f_all, q0, t0, opt.prerun_iterations, opt, fj_all)
 
     # Inlier pruning on loss-corrected residuals: threshold =
     # max(inlier_dis, ratio-quantile of per-block |r|₁)
@@ -153,9 +166,10 @@ def solve_two_phase(
     keep = jnp.logical_and(base_mask, l1 <= thr)
 
     f_in = f_with_mask(keep)
+    fj_in = fj_with_mask(keep) if fj_with_mask is not None else None
     r_i, m_i = f_in(pre.q, pre.t)
     initial_cost = _cost(r_i, m_i, opt.huber_delta)
-    full = lm_solve(f_in, pre.q, pre.t, opt.full_iterations, opt)
+    full = lm_solve(f_in, pre.q, pre.t, opt.full_iterations, opt, fj_in)
 
     n_blocks = jnp.sum(m_i.astype(jnp.int32))
     inlier_threshold = thr * full.cost / jnp.maximum(initial_cost, 1e-12)

@@ -40,6 +40,7 @@ from jax import lax
 from ..core import se3
 from ..core.config import SlamConfig
 from ..core.types import PointBatch
+from ..ops.bucket_grid import BucketGrid, grid_knn
 from ..ops.knn import knn
 from ..ops.masked import random_keep_mask
 from . import residuals as res
@@ -104,6 +105,8 @@ def register_frame(
     enabled: jax.Array,
     rng_key: jax.Array,
     cfg: SlamConfig,
+    grid_corners: BucketGrid | None = None,
+    grid_surface: BucketGrid | None = None,
 ) -> RegistrationResult:
     """Register one feature frame against the map; returns the composed
     world pose and quality metrics.
@@ -112,6 +115,10 @@ def register_frame(
     when the map is too small (reference :199); the frame is then kept
     at the previous pose with an identity increment, exactly like the
     reference's early frames.
+
+    When bucket grids over the map batches are provided (and
+    ``cfg.optimization.correspondence == "grid"``), the correspondence
+    search uses the 27-bucket grid-hash kNN instead of the dense scan.
     """
     opt = cfg.optimization
     deblur = bool(cfg.common.if_motion_deblur)
@@ -135,8 +142,13 @@ def register_frame(
             state.q_incre, state.t_incre, frame_surface.xyz, s_surf,
             q_last, t_last, deblur)
 
-        cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k)
-        sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k)
+        if (grid_corners is not None and grid_surface is not None
+                and opt.correspondence == "grid"):
+            cd, ci = grid_knn(qc, grid_corners, k=corner_k)
+            sd, si = grid_knn(qs, grid_surface, k=plane_k)
+        else:
+            cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k)
+            sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k)
 
         line_tgt = res.build_line_targets(
             cd, ci, map_corners.xyz, frame_corners.mask,
@@ -164,8 +176,28 @@ def register_frame(
 
             return f
 
+        if deblur:
+            # slerp-interpolated transforms: Jacobians via jacfwd
+            fj_with_mask = None
+        else:
+            def fj_with_mask(extra_mask):
+                def fj(q, t):
+                    r, _ = f_with_mask(extra_mask)(q, t)
+                    jc = res.point_world_jacobian(
+                        q, t, frame_corners.xyz, q_last)
+                    js = res.point_world_jacobian(
+                        q, t, frame_surface.xyz, q_last)
+                    J = jnp.concatenate([
+                        res.line_jacobian(jc, line_tgt),
+                        res.plane_jacobian(js, plane_tgt),
+                    ], axis=0)
+                    return r, J, extra_mask
+
+                return fj
+
         q_new, t_new, info = solve_two_phase(
-            f_with_mask, base_mask, state.q_incre, state.t_incre, opt)
+            f_with_mask, base_mask, state.q_incre, state.t_incre, opt,
+            fj_with_mask)
 
         # --- convergence (reference :521-531, units quirk preserved) --
         ang = se3.quat_angular_distance(state.q_last_opt, q_new)

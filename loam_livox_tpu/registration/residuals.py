@@ -130,6 +130,41 @@ def plane_residuals(
     return jnp.sum(ad * tgt.normal, axis=-1, keepdims=True) * tgt.normal
 
 
+def _skew(v: jax.Array) -> jax.Array:
+    """(N, 3) → (N, 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack([
+        jnp.stack([z, -v[:, 2], v[:, 1]], axis=-1),
+        jnp.stack([v[:, 2], z, -v[:, 0]], axis=-1),
+        jnp.stack([-v[:, 1], v[:, 0], z], axis=-1),
+    ], axis=-2)
+
+
+def point_world_jacobian(q_incre, t_incre, pts, q_last) -> jax.Array:
+    """Analytic ∂p_w/∂[δr, δt] (N, 3, 6) for the no-deblur transform
+    ``p_w = R_last (Exp(δr) R_incre p + t_incre + δt) + t_last`` at
+    δ = 0 — the closed form of what `gauss_newton` otherwise gets from
+    6 forward-mode passes."""
+    v = se3.quat_rotate(q_incre, pts)                 # R_incre p
+    r_last = se3.quat_to_matrix(q_last)               # (3, 3)
+    j_rot = -jnp.einsum("ij,njk->nik", r_last, _skew(v))
+    j_tr = jnp.broadcast_to(r_last[None], (pts.shape[0], 3, 3))
+    return jnp.concatenate([j_rot, j_tr], axis=-1)
+
+
+def line_jacobian(pw_jac: jax.Array, tgt: LineTargets) -> jax.Array:
+    """J of the line rejection residual: (I − u uᵀ) ∂p_w/∂δ."""
+    u = tgt.unit_ab
+    proj = jnp.einsum("ni,nj,njk->nik", u, u, pw_jac)
+    return pw_jac - proj
+
+
+def plane_jacobian(pw_jac: jax.Array, tgt: PlaneTargets) -> jax.Array:
+    """J of the plane projection residual: n nᵀ ∂p_w/∂δ."""
+    nvec = tgt.normal
+    return jnp.einsum("ni,nj,njk->nik", nvec, nvec, pw_jac)
+
+
 def huber_rho(s: jax.Array, delta: float) -> jax.Array:
     """Ceres HuberLoss on squared residual norms s = ‖r‖²:
     ρ(s) = s for s ≤ δ², else 2δ√s − δ²."""

@@ -55,6 +55,7 @@ from ..map.cell_map import (
     empty_cell_map,
     gather_cell_points,
 )
+from ..ops.bucket_grid import BucketGrid, build_bucket_grid
 from ..ops.voxel import voxel_downsample
 from ..registration import residuals as res
 from ..registration.icp import RegistrationResult, refine_blur, register_frame
@@ -88,9 +89,13 @@ class OdometryState(NamedTuple):
     # dummies when loop closure is off.
     cell_full: CellMap
     last_touched: jax.Array        # (C_full,) bool
-    # Matching buffer (reference: *_from_map_last, :551-559).
+    # Matching buffer (reference: *_from_map_last, :551-559) + the
+    # bucket grids over it (the KD-tree replacement; rebuilt together,
+    # mirroring the reference's kdtree.setInputCloud at :539-546).
     map_corners: PointBatch
     map_surface: PointBatch
+    grid_corners: BucketGrid
+    grid_surface: BucketGrid
     rng: jax.Array
 
 
@@ -125,6 +130,16 @@ def init_state(cfg: SlamConfig) -> OdometryState:
              if cfg.loop_closure.if_enable_loop_closure else 1,), bool),
         map_corners=PointBatch.empty(caps.map_corner_capacity),
         map_surface=PointBatch.empty(caps.map_surf_capacity),
+        grid_corners=build_bucket_grid(
+            jnp.zeros((caps.map_corner_capacity, 3), jnp.float32),
+            jnp.zeros((caps.map_corner_capacity,), bool),
+            cfg.optimization.corner_bucket_size,
+            caps.corner_bucket_count, caps.corner_bucket_cap),
+        grid_surface=build_bucket_grid(
+            jnp.zeros((caps.map_surf_capacity, 3), jnp.float32),
+            jnp.zeros((caps.map_surf_capacity,), bool),
+            cfg.optimization.surf_bucket_size,
+            caps.surf_bucket_count, caps.surf_bucket_cap),
         rng=jax.random.PRNGKey(0),
     )
 
@@ -168,7 +183,13 @@ def _rebuild_matching_buffer(state: OdometryState, cfg: SlamConfig
                                capacity=caps.map_corner_capacity)
     surface = voxel_downsample(raw_s, fe.mapping_plane_resolution,
                                capacity=caps.map_surf_capacity)
-    return corners, surface
+    grid_c = build_bucket_grid(
+        corners.xyz, corners.mask, cfg.optimization.corner_bucket_size,
+        caps.corner_bucket_count, caps.corner_bucket_cap)
+    grid_s = build_bucket_grid(
+        surface.xyz, surface.mask, cfg.optimization.surf_bucket_size,
+        caps.surf_bucket_count, caps.surf_bucket_cap)
+    return corners, surface, grid_c, grid_s
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -199,6 +220,8 @@ def odometry_step(
         state.q_w, state.t_w,
         frame.time_min, frame.time_max,
         enabled, reg_key, cfg,
+        grid_corners=state.grid_corners,
+        grid_surface=state.grid_surface,
     )
 
     # Rejected frames: keep previous pose, add nothing (reference :1416-1420).
@@ -291,10 +314,11 @@ def odometry_step(
     do_rebuild = jnp.logical_and(
         admit, (state.frame_count % interval) == 0) if interval > 1 else admit
 
-    map_corners, map_surface = lax.cond(
+    map_corners, map_surface, grid_corners, grid_surface = lax.cond(
         do_rebuild,
         lambda st: _rebuild_matching_buffer(st, cfg),
-        lambda st: (st.map_corners, st.map_surface),
+        lambda st: (st.map_corners, st.map_surface,
+                    st.grid_corners, st.grid_surface),
         mid_state,
     )
 
@@ -316,6 +340,8 @@ def odometry_step(
         last_touched=last_touched,
         map_corners=map_corners,
         map_surface=map_surface,
+        grid_corners=grid_corners,
+        grid_surface=grid_surface,
         rng=rng,
     )
     return new_state, reg

@@ -38,6 +38,50 @@ class TestResiduals:
                                 IDENT, ZERO3, deblur=False)
         np.testing.assert_allclose(np.asarray(r)[0], [0, 0, 0.7], atol=1e-6)
 
+    def test_analytic_jacobian_matches_jacfwd(self, rng):
+        """residuals.point_world_jacobian + line/plane_jacobian must
+        equal the 6-JVP forward-mode Jacobian the solver otherwise
+        computes."""
+        import jax
+
+        n = 17
+        pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 3)
+        q_incre = se3.quat_normalize(jnp.asarray(
+            rng.normal(size=4).astype(np.float32)))
+        t_incre = jnp.asarray(rng.normal(size=3).astype(np.float32))
+        q_last = se3.quat_normalize(jnp.asarray(
+            rng.normal(size=4).astype(np.float32)))
+        t_last = jnp.asarray(rng.normal(size=3).astype(np.float32))
+        a = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        u = rng.normal(size=(n, 3)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        ltgt = res.LineTargets(a=a, unit_ab=jnp.asarray(u),
+                               valid=jnp.ones(n, bool))
+        nrm = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        ptgt = res.PlaneTargets(a=a, normal=nrm, valid=jnp.ones(n, bool))
+        s = jnp.ones(n)
+
+        def r_line(dd):
+            qq = se3.quat_normalize(
+                se3.quat_multiply(se3.quat_exp(dd[:3]), q_incre))
+            return res.line_residuals(qq, t_incre + dd[3:], pts, s, ltgt,
+                                      q_last, t_last, deblur=False)
+
+        def r_plane(dd):
+            qq = se3.quat_normalize(
+                se3.quat_multiply(se3.quat_exp(dd[:3]), q_incre))
+            return res.plane_residuals(qq, t_incre + dd[3:], pts, s, ptgt,
+                                       q_last, t_last, deblur=False)
+
+        zero = jnp.zeros(6)
+        J_line_ad = jax.jacfwd(r_line)(zero)
+        J_plane_ad = jax.jacfwd(r_plane)(zero)
+        pw_jac = res.point_world_jacobian(q_incre, t_incre, pts, q_last)
+        np.testing.assert_allclose(np.asarray(res.line_jacobian(pw_jac, ltgt)),
+                                   np.asarray(J_line_ad), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(res.plane_jacobian(pw_jac, ptgt)),
+                                   np.asarray(J_plane_ad), atol=2e-4)
+
     def test_deblur_interpolation(self):
         # s=0 → untransformed; s=1 → full increment
         q = se3.quat_exp(jnp.array([0.0, 0.0, 0.3]))
