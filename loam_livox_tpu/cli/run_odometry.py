@@ -1,0 +1,139 @@
+"""Run the odometry/mapping pipeline — the CLI replacing the
+reference's roslaunch entry points (reference: ``launch/rosbag.launch``
+and friends: load a YAML profile, apply per-scenario overrides, start
+the nodes).
+
+Data sources:
+* ``--source sim``        synthetic Livox rosette stream (io.simulator)
+* ``--source pcd:<dir>``  directory of per-frame .pcd files named in
+                          frame order (the interop path for converted
+                          rosbags)
+
+Examples:
+    python -m loam_livox_tpu.cli.run_odometry --profile realtime --frames 100
+    python -m loam_livox_tpu.cli.run_odometry --config configs/performance_precision.yaml \
+        --source pcd:/data/hku_zym --save-poses poses.txt --save-map map.json
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--config", help="YAML config (reference schema)")
+    p.add_argument("--profile",
+                   choices=["precision", "realtime", "largescale"],
+                   default="precision")
+    p.add_argument("--source", default="sim",
+                   help="'sim' or 'pcd:<dir>' of per-frame .pcd files")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--piecewise", type=int, default=None,
+                   help="override common/piecewise_number")
+    p.add_argument("--loop-closure", action="store_true")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--save-poses", default=None,
+                   help="write trajectory (reference OutputPoses format)")
+    p.add_argument("--save-map", default=None,
+                   help="write the plane cell map as reference-format JSON")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from ..core import config as C
+
+    cfg = {"precision": C.precision_profile,
+           "realtime": C.realtime_profile,
+           "largescale": C.largescale_profile}[args.profile]()
+    if args.config:
+        cfg = C.load_yaml(args.config, base=cfg)
+    overrides = {}
+    if args.piecewise is not None:
+        overrides.setdefault("common", {})["piecewise_number"] = args.piecewise
+    if args.loop_closure:
+        overrides.setdefault("loop_closure", {})["if_enable_loop_closure"] = 1
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def frame_stream(args, cfg):
+    if args.source == "sim":
+        from ..io.simulator import LivoxSimulator, SimConfig
+
+        sim = LivoxSimulator(SimConfig(seed=args.seed))
+        for i in range(args.frames):
+            yield sim.frame(i)
+    elif args.source.startswith("pcd:"):
+        from ..io.serialization import load_pcd
+
+        d = args.source[4:]
+        files = sorted(glob.glob(os.path.join(d, "*.pcd")))[: args.frames]
+        if not files:
+            raise SystemExit(f"no .pcd files under {d}")
+        period = 0.1
+        for i, f in enumerate(files):
+            xyz, inten = load_pcd(f)
+            if inten is None:
+                import numpy as np
+
+                inten = np.ones(len(xyz), np.float32)
+            yield xyz, inten, i * period
+    else:
+        raise SystemExit(f"unknown source {args.source!r}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    from ..runtime.pipeline import OdometryPipeline
+
+    pipe = OdometryPipeline(cfg, log_dir=args.log_dir)
+    t0 = time.perf_counter()
+    n = 0
+    for xyz, inten, stamp in frame_stream(args, cfg):
+        pipe.process_raw(xyz, inten, stamp)
+        n += 1
+        if not args.quiet and n % 10 == 0:
+            import numpy as np
+
+            print(f"frame {n}: t_w="
+                  f"{np.round(pipe.trajectory.positions[-1], 3).tolist()}",
+                  file=sys.stderr)
+    wall = time.perf_counter() - t0
+
+    if args.save_poses:
+        import numpy as np
+
+        from ..io.serialization import save_poses_txt
+
+        save_poses_txt(args.save_poses,
+                       np.asarray(pipe.trajectory.positions),
+                       np.asarray(pipe.trajectory.quaternions))
+    if args.save_map:
+        from ..io.serialization import save_cell_map_json
+
+        save_cell_map_json(pipe.state.cell_planes, args.save_map)
+
+    summary = {
+        "frames": n,
+        "wall_s": round(wall, 3),
+        "fps": round(n / wall, 3) if wall > 0 else None,
+        "accepted": int(sum(pipe.trajectory.accepted)),
+        "steps": len(pipe.trajectory.accepted),
+        "loop_closed": bool(pipe.loop_closer and pipe.loop_closer.closed),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

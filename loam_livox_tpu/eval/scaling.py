@@ -1,0 +1,81 @@
+"""Multi-device scaling harness — measures the sharded hot path
+(map-sharded kNN + psum'd normal equations, `parallel.sharded`) across
+mesh sizes and reports scaling efficiency (the BASELINE.md "≥80% at
+N ≥ 2" target).
+
+On real multi-chip hardware the numbers are true wall-clock scaling;
+on the virtual CPU mesh (`xla_force_host_platform_device_count`) the
+harness still validates that the collectives compile and execute and
+gives relative-work numbers.
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import knn_sharded, make_mesh, normal_system_psum
+
+
+def _bench(fn, n=10):
+    r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
+
+
+def measure_scaling(
+    mesh_sizes: Optional[List[int]] = None,
+    n_query: int = 4096,
+    n_ref: int = 65536,
+    k: int = 5,
+    reps: int = 10,
+) -> dict:
+    """Time one sharded correspondence+reduction step per mesh size."""
+    devs = jax.devices()
+    if mesh_sizes is None:
+        mesh_sizes = [s for s in (1, 2, 4, 8) if s <= len(devs)]
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-20, 20, (n_query, 3)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(-20, 20, (n_ref, 3)).astype(np.float32))
+    mask = jnp.ones((n_ref,), bool)
+    r_all = jnp.asarray(rng.normal(size=(n_query, 3)).astype(np.float32))
+    J_all = jnp.asarray(rng.normal(size=(n_query, 3, 6)).astype(np.float32))
+    w_all = jnp.asarray(rng.uniform(0, 1, n_query).astype(np.float32))
+    ids = jnp.arange(n_query)
+
+    results = {}
+    for s in mesh_sizes:
+        mesh = make_mesh(s)
+
+        def step():
+            d, i = knn_sharded(q, ref, mask, mesh, k=k)
+            H, g, c = normal_system_psum(
+                lambda idx: (r_all[idx], J_all[idx], w_all[idx]), ids, mesh)
+            return d, H
+
+        results[s] = _bench(step, reps)
+
+    base = results[mesh_sizes[0]] * mesh_sizes[0]
+    out = {
+        "device_kind": devs[0].device_kind,
+        "n_query": n_query,
+        "n_ref": n_ref,
+        "times_s": {str(s): round(t, 6) for s, t in results.items()},
+        "efficiency": {
+            str(s): round(base / (results[s] * s) / mesh_sizes[0], 4)
+            for s in mesh_sizes
+        },
+    }
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure_scaling(), indent=2))

@@ -102,10 +102,14 @@ class OdometryPipeline:
     loop closure enabled, also drives the keyframe/loop service
     (reference: the `service_loop_detection` thread)."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, log_dir: str | None = None):
+        from ..utils.logging import FileLogger, SpanTimer
+
         self.cfg = cfg
         self.state: OdometryState = init_state(cfg)
         self.trajectory = TrajectoryRecord()
+        self.logger = FileLogger(log_dir)
+        self.timer = SpanTimer()
         self.loop_closer = None
         if cfg.loop_closure.if_enable_loop_closure:
             from .loop_service import LoopCloser
@@ -126,12 +130,34 @@ class OdometryPipeline:
         inten[:m] = intensity[:m]
         mask[:m] = True
 
-        self.state, _, poses = process_raw_frame(
+        from ..utils import logging as L
+
+        self.timer.tic(L.SPAN_FRAME)
+        self.state, reg, poses = process_raw_frame(
             self.state, jnp.asarray(pts), jnp.asarray(inten),
             jnp.asarray(mask), jnp.float32(base_time), self.cfg,
             piecewise_number=self.cfg.common.piecewise_number,
         )
         q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
+        if self.logger.enabled():
+            # per-frame quality metrics, mirroring the reference's
+            # mapping/timer/pcd logs (point_cloud_registration.hpp:534-557,
+            # laser_mapping.hpp:1506-1512)
+            self.logger.printf(
+                "mapping",
+                "frame %d: cost=%.6f inlier_thr=%.6f blocks=%d iters=%d "
+                "dR=%.3fdeg dT=%.3fm accepted=%d",
+                int(self.state.frame_count), float(reg.final_cost),
+                float(reg.inlier_threshold), int(reg.n_blocks),
+                int(reg.iterations), float(reg.angular_diff_deg),
+                float(reg.t_diff), int(bool(reg.accepted)))
+            q = q_ws[-1]
+            t = t_ws[-1]
+            self.logger.printf("pcd_log", "Curr_Q = %f,%f,%f,%f", *q)
+            self.logger.printf("pcd_log", "Curr_T = %f,%f,%f", *t)
+            self.logger.write("timer",
+                              f"{L.SPAN_FRAME}: "
+                              f"{self.timer.toc(L.SPAN_FRAME):.3f} ms")
         for p in range(len(tmins)):
             self.trajectory.times.append(float(tmins[p]))
             self.trajectory.positions.append(t_ws[p])
