@@ -84,8 +84,10 @@ class OptimizationConfig:
     lm_init_lambda: float = 1e-4
     # LM iterations used for the post-prune full solve (the reference's
     # ceres_maximum_iteration=50 is a cap; Ceres converges in a handful
-    # of iterations on this 6-DoF problem).
-    full_iterations: int = 8
+    # of iterations on this 6-DoF problem — and the outer ICP loop
+    # re-searches correspondences anyway, so deep inner convergence is
+    # wasted work).
+    full_iterations: int = 5
     # If > 0, randomly subsample residuals to this budget like the
     # reference; if 0, keep all residuals (the TPU-native default — the
     # batched solver is not residual-count bound).

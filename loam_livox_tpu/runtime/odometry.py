@@ -99,6 +99,13 @@ class OdometryState(NamedTuple):
     rng: jax.Array
 
 
+def _need_cell_maps(cfg: SlamConfig) -> bool:
+    """Feature cell maps are read only by cell-mode matching and the
+    loop-closure keyframes; elsewhere they stay 1-slot dummies."""
+    return (cfg.mapping.matching_mode == 1
+            or bool(cfg.loop_closure.if_enable_loop_closure))
+
+
 def init_state(cfg: SlamConfig) -> OdometryState:
     caps = cfg.capacity
     w = caps.history_window
@@ -114,12 +121,14 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         hist_len=jnp.int32(0),
         last_his_q=se3.quat_identity(),
         last_his_t=jnp.zeros(3, jnp.float32),
-        cell_corners=empty_cell_map(cfg.mapping.cell_resolution * 0.5,
-                                    caps.cell_capacity,
-                                    caps.cell_point_capacity),
-        cell_planes=empty_cell_map(cfg.mapping.cell_resolution * 0.5,
-                                   caps.cell_capacity,
-                                   caps.cell_point_capacity),
+        cell_corners=empty_cell_map(
+            cfg.mapping.cell_resolution * 0.5,
+            caps.cell_capacity if _need_cell_maps(cfg) else 1,
+            caps.cell_point_capacity if _need_cell_maps(cfg) else 1),
+        cell_planes=empty_cell_map(
+            cfg.mapping.cell_resolution * 0.5,
+            caps.cell_capacity if _need_cell_maps(cfg) else 1,
+            caps.cell_point_capacity if _need_cell_maps(cfg) else 1),
         cell_full=(
             empty_cell_map(cfg.mapping.cell_resolution * 0.5,
                            caps.cell_capacity, caps.cell_point_capacity)
@@ -277,16 +286,23 @@ def odometry_step(
     # program is branch-free; an all-False mask touches no cells.  (The
     # cell frame index then counts all frames, not only accepted ones —
     # immaterial at the shipped revisit thresholds of 2000/100000.)
+    # In history matching mode with loop closure off, nothing ever
+    # reads the feature cell maps (the reference maintains them anyway,
+    # laser_mapping.hpp:1491-1493, burning ~20% of its frame budget);
+    # skip the insertions then.
     revisit = cfg.common.threshold_cell_revisit
     max_new = caps.cell_max_new_per_frame
-    cell_corners, _ = append_cloud(
-        state.cell_corners,
-        corner_w._replace(mask=corner_w.mask & admit),
-        revisit, max_new=max_new)
-    cell_planes, _ = append_cloud(
-        state.cell_planes,
-        surf_w._replace(mask=surf_w.mask & admit),
-        revisit, max_new=max_new)
+    if _need_cell_maps(cfg):
+        cell_corners, _ = append_cloud(
+            state.cell_corners,
+            corner_w._replace(mask=corner_w.mask & admit),
+            revisit, max_new=max_new)
+        cell_planes, _ = append_cloud(
+            state.cell_planes,
+            surf_w._replace(mask=surf_w.mask & admit),
+            revisit, max_new=max_new)
+    else:
+        cell_corners, cell_planes = state.cell_corners, state.cell_planes
 
     # Full-cloud cell map for keyframes (reference :1526-1530): the
     # registered full cloud, world-transformed with deblur.
