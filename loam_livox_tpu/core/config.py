@@ -24,12 +24,16 @@ class CommonConfig:
     lidar_type: str = "livox"
     maximum_parallel_thread: int = 1
     odom_mode: int = 1
-    if_motion_deblur: int = 0
+    # NOTE the reference's *runtime* default is deblur ON: the shipped
+    # YAMLs omit common/if_motion_deblur and common/piecewise_number,
+    # so the node defaults (1 and 3 — laser_feature_extractor.hpp:141-142)
+    # apply, and deblur forces piecewise to 1 (:306-309).
+    if_motion_deblur: int = 1
     if_save_to_pcd_files: int = 0
     if_update_mean_and_cov_incrementally: int = 1
     threshold_cell_revisit: int = 2000
     # reference: launch/rosbag_mid100.launch:6 (common/piecewise_number)
-    piecewise_number: int = 1
+    piecewise_number: int = 3
     if_verbose_screen_printf: int = 1
 
 

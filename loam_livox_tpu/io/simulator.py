@@ -196,34 +196,42 @@ class ConvexScene:
     def random_room(
         rng: np.random.Generator,
         half_extent: float = 12.0,
+        half_extent_z: float = 2.5,
         n_boxes: int = 10,
         n_pillars: int = 8,
         n_ridges: int = 20,
     ) -> "ConvexScene":
-        """Room walls + boxes + frustum pillars + sharp wall ridges."""
+        """Room walls + boxes + frustum pillars + sharp wall ridges.
+
+        The vertical half-extent defaults to a realistic indoor 2.5 m:
+        with a tall room the floor/ceiling never enter the 17° Livox
+        cone and the vertical axis becomes unobservable — trajectories
+        then drift/oscillate in z no matter the estimator."""
         e = half_extent
+        ez = half_extent_z
         w = 0.5
         parts = []
         walls = [
-            ([e, -e - w, -e - w], [e + w, e + w, e + w]),
-            ([-e - w, -e - w, -e - w], [-e, e + w, e + w]),
-            ([-e - w, e, -e - w], [e + w, e + w, e + w]),
-            ([-e - w, -e - w, -e - w], [e + w, -e, e + w]),
-            ([-e - w, -e - w, e], [e + w, e + w, e + w]),
-            ([-e - w, -e - w, -e - w], [e + w, e + w, -e]),
+            ([e, -e - w, -ez - w], [e + w, e + w, ez + w]),
+            ([-e - w, -e - w, -ez - w], [-e, e + w, ez + w]),
+            ([-e - w, e, -ez - w], [e + w, e + w, ez + w]),
+            ([-e - w, -e - w, -ez - w], [e + w, -e, ez + w]),
+            ([-e - w, -e - w, ez], [e + w, e + w, ez + w]),     # ceiling
+            ([-e - w, -e - w, -ez - w], [e + w, e + w, -ez]),   # floor
         ]
         for lo, hi in walls:
             parts.append(ConvexScene.box_planes(lo, hi))
         for _ in range(n_boxes):
             c = rng.uniform(-0.7 * e, 0.7 * e, size=3)
-            s = rng.uniform(0.4, 2.5, size=3)
+            c[2] = rng.uniform(-0.6 * ez, 0.6 * ez)
+            s = rng.uniform(0.4, 2.0, size=3)
             parts.append(ConvexScene.box_planes(c - s / 2, c + s / 2))
         for _ in range(n_pillars):
             x = rng.uniform(0.3 * e, 0.9 * e)
             y = rng.uniform(-0.55 * e, 0.55 * e)
             sx, sy = rng.uniform(0.3, 0.9, size=2)
             parts.append(ConvexScene.box_planes(
-                [x - sx / 2, y - sy / 2, -e], [x + sx / 2, y + sy / 2, e]))
+                [x - sx / 2, y - sy / 2, -ez], [x + sx / 2, y + sy / 2, ez]))
         for i in range(n_ridges):
             # Ridges poking out of the +x wall region the frustum sweeps,
             # apex pointed at the sensor: half-angle 10-20° → depth slope
@@ -236,7 +244,7 @@ class ConvexScene:
             azim = rng.uniform(-25.0, 25.0)
             depth = rng.uniform(1.0, 2.5)
             parts.append(ConvexScene.wedge_planes(
-                (x, y), -e, e, depth, half_angle, azim,
+                (x, y), -ez, ez, depth, half_angle, azim,
                 horizontal=bool(i % 2)))
         refl = rng.uniform(0.5, 1.5, size=len(parts))
         return ConvexScene.from_parts(parts, refl)
@@ -265,7 +273,16 @@ class ConvexScene:
 
 @dataclass
 class Trajectory:
-    """Smooth analytic 6-DoF trajectory (sum of low-frequency sinusoids)."""
+    """Smooth analytic 6-DoF trajectory (sum of low-frequency sinusoids).
+
+    Starts from standstill: for ``t < ramp_t0`` the pose is frozen and
+    motion then ramps in smoothly (zero initial velocity).  Real
+    handheld captures begin stationary — the reference's 50-frame
+    init-accumulation window (`mapping/init_accumulate_frames`) builds
+    its seed map assuming exactly that; a simulator that moves at full
+    speed from t = 0 hands the SLAM a smeared seed map no
+    implementation could register against (motion-deblur ICP then
+    diverges by stretching frames into the smear)."""
 
     lin_amp: np.ndarray = field(default_factory=lambda: np.array([2.0, 1.5, 0.3]))
     lin_hz: np.ndarray = field(default_factory=lambda: np.array([0.05, 0.04, 0.08]))
@@ -273,15 +290,21 @@ class Trajectory:
     yaw_hz: float = 0.05
     pitch_amp: float = 0.12
     pitch_hz: float = 0.07
+    ramp_t0: float = 1.0     # stationary duration (s)
+
+    def _warp(self, t: np.ndarray) -> np.ndarray:
+        """Time warp: 0 until ramp_t0, then smoothly approaching t."""
+        u = np.maximum(np.asarray(t, np.float64) - self.ramp_t0, 0.0)
+        return u * u / (u + 1.0)
 
     def position(self, t: np.ndarray) -> np.ndarray:
-        t = np.atleast_1d(np.asarray(t, np.float64))
+        t = self._warp(np.atleast_1d(np.asarray(t, np.float64)))
         p = self.lin_amp[None, :] * np.sin(2 * np.pi * self.lin_hz[None, :] * t[:, None])
         return p
 
     def quaternion(self, t: np.ndarray) -> np.ndarray:
         """wxyz quaternions, (N, 4): yaw then pitch, smooth in t."""
-        t = np.atleast_1d(np.asarray(t, np.float64))
+        t = self._warp(np.atleast_1d(np.asarray(t, np.float64)))
         yaw = self.yaw_amp * np.sin(2 * np.pi * self.yaw_hz * t)
         pitch = self.pitch_amp * np.sin(2 * np.pi * self.pitch_hz * t + 1.0)
         cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)

@@ -21,7 +21,7 @@ from jax import lax
 BIG = jnp.float32(1e30)
 
 
-@partial(jax.jit, static_argnames=("k", "query_tile", "exact"))
+@partial(jax.jit, static_argnames=("k", "query_tile", "exact", "recall"))
 def knn(
     query_xyz: jax.Array,
     ref_xyz: jax.Array,
@@ -29,6 +29,7 @@ def knn(
     k: int = 5,
     query_tile: int = 1024,
     exact: bool = False,
+    recall: float = 0.99,
 ):
     """k smallest squared distances from each query to the masked refs.
 
@@ -80,7 +81,11 @@ def knn(
             neg, idx = lax.top_k(-d, k)
             vals = -neg
         else:
-            vals, idx = lax.approx_min_k(d, k)
+            # High recall matters beyond match quality: ICP convergence
+            # checks successive solutions, and correspondence sets that
+            # flap between iterations (5% at the 0.95 default) keep the
+            # outer loop from ever meeting its tolerance.
+            vals, idx = lax.approx_min_k(d, k, recall_target=recall)
         return None, (vals, idx.astype(jnp.int32))
 
     _, (best_d, best_i) = lax.scan(step, None, qs)

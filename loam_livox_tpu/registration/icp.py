@@ -176,24 +176,26 @@ def register_frame(
 
             return f
 
-        if deblur:
-            # slerp-interpolated transforms: Jacobians via jacfwd
-            fj_with_mask = None
-        else:
-            def fj_with_mask(extra_mask):
-                def fj(q, t):
-                    r, _ = f_with_mask(extra_mask)(q, t)
+        def fj_with_mask(extra_mask):
+            def fj(q, t):
+                r, _ = f_with_mask(extra_mask)(q, t)
+                if deblur:
+                    jc = res.point_world_jacobian_deblur(
+                        q, t, frame_corners.xyz, s_corner, q_last)
+                    js = res.point_world_jacobian_deblur(
+                        q, t, frame_surface.xyz, s_surf, q_last)
+                else:
                     jc = res.point_world_jacobian(
                         q, t, frame_corners.xyz, q_last)
                     js = res.point_world_jacobian(
                         q, t, frame_surface.xyz, q_last)
-                    J = jnp.concatenate([
-                        res.line_jacobian(jc, line_tgt),
-                        res.plane_jacobian(js, plane_tgt),
-                    ], axis=0)
-                    return r, J, extra_mask
+                J = jnp.concatenate([
+                    res.line_jacobian(jc, line_tgt),
+                    res.plane_jacobian(js, plane_tgt),
+                ], axis=0)
+                return r, J, extra_mask
 
-                return fj
+            return fj
 
         q_new, t_new, info = solve_two_phase(
             f_with_mask, base_mask, state.q_incre, state.t_incre, opt,

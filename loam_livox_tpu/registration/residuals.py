@@ -152,6 +152,27 @@ def point_world_jacobian(q_incre, t_incre, pts, q_last) -> jax.Array:
     return jnp.concatenate([j_rot, j_tr], axis=-1)
 
 
+def point_world_jacobian_deblur(q_incre, t_incre, pts, s, q_last) -> jax.Array:
+    """Analytic ∂p_w/∂[δr, δt] (N, 3, 6) for the deblur transform
+    ``p_w = R_last (Exp(s·Log(Exp(δr) R_incre)) p + s(t_incre + δt)) + t_last``
+    at δ = 0, to first order in the increment angle:
+
+        ∂p_w/∂δr ≈ −s · R_last [R_incre^s p]×
+        ∂p_w/∂δt =  s · R_last
+
+    The dropped factor ``J_l(sφ) J_l(φ)⁻¹ = I + O(‖φ‖)`` is within
+    ~1% for per-frame rotations of a few degrees; Gauss–Newton
+    tolerates that (subsequent iterations re-linearize), and the outer
+    ICP loop re-searches correspondences anyway."""
+    q_s = se3.quat_slerp_identity(q_incre, s)           # (N, 4)
+    v = se3.quat_rotate(q_s, pts)                        # R^s p
+    r_last = se3.quat_to_matrix(q_last)
+    j_rot = -jnp.einsum("ij,njk->nik", r_last, _skew(v)) * s[:, None, None]
+    j_tr = jnp.broadcast_to(r_last[None], (pts.shape[0], 3, 3)) \
+        * s[:, None, None]
+    return jnp.concatenate([j_rot, j_tr], axis=-1)
+
+
 def line_jacobian(pw_jac: jax.Array, tgt: LineTargets) -> jax.Array:
     """J of the line rejection residual: (I − u uᵀ) ∂p_w/∂δ."""
     u = tgt.unit_ab

@@ -133,10 +133,15 @@ class OdometryPipeline:
         from ..utils import logging as L
 
         self.timer.tic(L.SPAN_FRAME)
+        # Motion deblur replaces piecewise splitting (reference:
+        # laser_feature_extractor.hpp:306-309 forces piece_wise = 1
+        # when if_motion_deblur is on).
+        pieces = (1 if self.cfg.common.if_motion_deblur
+                  else self.cfg.common.piecewise_number)
         self.state, reg, poses = process_raw_frame(
             self.state, jnp.asarray(pts), jnp.asarray(inten),
             jnp.asarray(mask), jnp.float32(base_time), self.cfg,
-            piecewise_number=self.cfg.common.piecewise_number,
+            piecewise_number=pieces,
         )
         q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
         if self.logger.enabled():

@@ -82,6 +82,33 @@ class TestResiduals:
         np.testing.assert_allclose(np.asarray(res.plane_jacobian(pw_jac, ptgt)),
                                    np.asarray(J_plane_ad), atol=2e-4)
 
+    def test_deblur_jacobian_close_to_jacfwd(self, rng):
+        """The first-order deblur Jacobian must match forward-mode
+        within O(increment angle) at realistic per-frame rotations."""
+        import jax
+
+        n = 13
+        pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 4)
+        s = jnp.asarray(rng.uniform(0.05, 1.0, n).astype(np.float32))
+        q_incre = se3.quat_exp(jnp.asarray([0.01, -0.02, 0.03]))  # ~2°
+        t_incre = jnp.asarray([0.05, -0.02, 0.01])
+        q_last = se3.quat_normalize(jnp.asarray(
+            rng.normal(size=4).astype(np.float32)))
+
+        def pw(dd):
+            qq = se3.quat_normalize(
+                se3.quat_multiply(se3.quat_exp(dd[:3]), q_incre))
+            return res.transform_points_incre(
+                qq, t_incre + dd[3:], pts, s, q_last, jnp.zeros(3),
+                deblur=True)
+
+        J_ad = jax.jacfwd(pw)(jnp.zeros(6))
+        J_an = res.point_world_jacobian_deblur(q_incre, t_incre, pts, s,
+                                               q_last)
+        scale = np.abs(np.asarray(J_ad)).max()
+        np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                                   atol=0.03 * scale)
+
     def test_deblur_interpolation(self):
         # s=0 → untransformed; s=1 → full increment
         q = se3.quat_exp(jnp.array([0.0, 0.0, 0.3]))

@@ -17,6 +17,11 @@ from loam_livox_tpu.runtime.odometry import init_state, odometry_step
 def small_cfg(**over):
     mapping = {"init_accumulate_frames": 1, "maximum_histroy_buffer": 8}
     mapping.update(over.pop("mapping", {}))
+    # the synthetic frames here are captured at a single pose (no
+    # intra-frame motion), so the motion-deblur model must be off
+    common = {"if_motion_deblur": 0, "piecewise_number": 1}
+    common.update(over.pop("common", {}))
+    over["common"] = common
     return SlamConfig().replace(
         capacity={
             "max_raw_points": 1024,
