@@ -83,13 +83,16 @@ class LoopClosureResult:
 
 
 class LoopCloser:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, dump_dir: Optional[str] = None):
         self.cfg = cfg
         self.lc = cfg.loop_closure
         self.keyframes: List[KeyframeRecord] = []
         self.updating: List[_Accumulator] = [_Accumulator()]
         self.closed = False
         self.result: Optional[LoopClosureResult] = None
+        # artifact directory for loop.g2o / poses_ori.txt / poses_opm.txt
+        # (reference laser_mapping.hpp:1080-1087)
+        self.dump_dir = dump_dir
 
     # ---- per-frame accumulation -----------------------------------------
     def on_frame(self, cell_full: CellMap, touched: jax.Array,
@@ -214,6 +217,31 @@ class LoopCloser:
             icp_score=float(align.inlier_threshold),
             q_opt=np.asarray(q_opt), t_opt=np.asarray(t_opt),
         )
+        if self.dump_dir:
+            self._dump_artifacts(g, np.asarray(qs), np.asarray(ts))
+
+    def _dump_artifacts(self, g, qs_ori, ts_ori) -> None:
+        """loop.g2o + poses_ori.txt / poses_opm.txt in the reference's
+        formats (laser_mapping.hpp:1080-1087)."""
+        import os
+
+        from ..io.serialization import save_g2o, save_poses_txt
+
+        os.makedirs(self.dump_dir, exist_ok=True)
+        mask = np.asarray(g.edge_mask)
+        edges = [
+            {"id_begin": int(np.asarray(g.edge_i)[e]),
+             "id_end": int(np.asarray(g.edge_j)[e]),
+             "t": np.asarray(g.rel_t)[e],
+             "q_wxyz": np.asarray(g.rel_q)[e]}
+            for e in np.nonzero(mask)[0]
+        ]
+        save_g2o(os.path.join(self.dump_dir, "loop.g2o"),
+                 ts_ori, qs_ori, edges)
+        save_poses_txt(os.path.join(self.dump_dir, "poses_ori.txt"),
+                       ts_ori, qs_ori)
+        save_poses_txt(os.path.join(self.dump_dir, "poses_opm.txt"),
+                       self.result.t_opt, self.result.q_opt)
 
     # ---- map refinement (reference Mapping_refine, ------------------
     # ceres_pose_graph_3d.hpp:437-500) ---------------------------------

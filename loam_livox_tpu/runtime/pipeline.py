@@ -169,6 +169,31 @@ class OdometryPipeline:
             self.trajectory.quaternions.append(q_ws[p])
             self.trajectory.accepted.append(bool(accepted[p]))
 
+        self._maybe_drive_loop(q_ws, t_ws)
+
+    def get_surround_map(self, radius: float | None = None) -> np.ndarray:
+        """Visualization map around the current pose — the analogue of
+        the reference's surround-publish thread (`service_pub_surround_pts`,
+        laser_mapping.hpp:1151-1201): cells within `radius` of the pose
+        (full-resolution cell map when loop closure maintains it,
+        otherwise the surface matching buffer), voxel-filtered at
+        ``surround_pointcloud_resolution``.  Returns (N, 3) float32."""
+        from ..map.cell_map import cells_in_radius, gather_cell_points
+
+        cfg = self.cfg
+        res = cfg.mapping.surround_pointcloud_resolution
+        radius = radius or max(cfg.mapping.maximum_search_range_surface,
+                               100.0)
+        if int(self.state.cell_full.capacity) > 1:
+            sel = cells_in_radius(self.state.cell_full, self.state.t_w,
+                                  radius)
+            batch = gather_cell_points(self.state.cell_full, sel)
+        else:
+            batch = self.state.map_surface
+        ds = voxel_downsample(batch, res)
+        return np.asarray(ds.xyz)[np.asarray(ds.mask)]
+
+    def _maybe_drive_loop(self, q_ws, t_ws) -> None:
         if self.loop_closer is not None and not self.loop_closer.closed:
             # Keyframe accumulation consumes the last piece's
             # touched-cell mask (with piecewise > 1 the intermediate
