@@ -72,15 +72,15 @@ def frame_stream(args, cfg):
         for i in range(args.frames):
             yield sim.frame(i)
     elif args.source.startswith("pcd:"):
-        from ..io.serialization import load_pcd
+        from ..io import native
 
         d = args.source[4:]
-        files = sorted(glob.glob(os.path.join(d, "*.pcd")))[: args.frames]
-        if not files:
+        if not glob.glob(os.path.join(d, "*.pcd")):
             raise SystemExit(f"no .pcd files under {d}")
         period = 0.1
-        for i, f in enumerate(files):
-            xyz, inten = load_pcd(f)
+        for i, (xyz, inten) in enumerate(native.pcd_dir_stream(d)):
+            if i >= args.frames:
+                break
             if inten is None:
                 import numpy as np
 
