@@ -165,6 +165,10 @@ class CapacityConfig:
     max_splits: int = 512              # petal turning-point candidates
     max_corner: int = 1024             # padded corner features per frame
     max_surface: int = 4096            # padded surface features per frame
+    # capacities after the mapping-input voxel filter (coarser leaves →
+    # fewer voxels; these set the ICP query width, the hot dimension)
+    max_corner_ds: int = 512
+    max_surface_ds: int = 2048
     map_corner_capacity: int = 16384   # matching-buffer corner points
     map_surf_capacity: int = 65536     # matching-buffer surface points
     cell_capacity: int = 8192          # cell-map directory slots

@@ -1,0 +1,112 @@
+"""The five BASELINE.json benchmark scenarios as runnable configs —
+the CI matrix mirroring the reference's launch-file scenarios
+(BASELINE.md "Scenario coverage").
+
+Each entry returns (SlamConfig, runner kwargs).  `run_scenario` drives
+it on the synthetic stream (rosbags are not shippable here; `--source
+pcd:` in the CLI covers converted real sequences).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+import numpy as np
+
+from ..core.config import SlamConfig, largescale_profile, realtime_profile
+
+
+def scenario_config(name: str):
+    """Configs for the 5 BASELINE.json scenarios."""
+    if name == "odometry_only":
+        # 1: Mid-40 short sequence, odometry-only, loop off (CPU-runnable)
+        cfg = SlamConfig().replace(
+            common={"if_motion_deblur": 0, "piecewise_number": 1},
+            mapping={"init_accumulate_frames": 10},
+            capacity={"max_raw_points": 8192, "map_surf_capacity": 32768,
+                      "map_corner_capacity": 8192},
+        )
+        return cfg, {"frames": 40, "points": 8192}
+    if name == "full_mapping":
+        # 2: Mid-40 full odometry+mapping with motion deblur + cell maps
+        cfg = SlamConfig().replace(
+            mapping={"init_accumulate_frames": 20, "matching_mode": 1},
+        )
+        return cfg, {"frames": 60, "points": 10000}
+    if name == "largescale_realtime":
+        # 3: coarse resolutions, realtime profile
+        cfg = largescale_profile().replace(
+            mapping={"init_accumulate_frames": 20},
+        )
+        return cfg, {"frames": 60, "points": 10000}
+    if name == "loop_closure":
+        # 4: loop closure enabled (scene alignment + pose graph)
+        cfg = SlamConfig().replace(
+            mapping={"init_accumulate_frames": 10},
+            loop_closure={"if_enable_loop_closure": 1,
+                          "scans_of_each_keyframe": 30,
+                          "scans_between_two_keyframe": 10,
+                          "minimum_keyframe_differen": 5},
+        )
+        return cfg, {"frames": 80, "points": 10000}
+    if name == "mid100_multihost":
+        # 5: tri-lidar multi-stream + sharded registration (the device
+        # mesh substitutes for multi-host on this machine)
+        cfg = SlamConfig().replace(
+            common={"if_motion_deblur": 0, "piecewise_number": 2},
+            capacity={"max_raw_points": 8192},
+        )
+        return cfg, {"frames": 30, "points": 8192, "sensors": 3}
+    raise KeyError(name)
+
+
+SCENARIOS = ("odometry_only", "full_mapping", "largescale_realtime",
+             "loop_closure", "mid100_multihost")
+
+
+def run_scenario(name: str, frames: int | None = None) -> Dict:
+    from ..eval.ate import ate_rmse
+    from ..io.simulator import LivoxSimulator, SimConfig
+    from ..runtime.pipeline import OdometryPipeline
+
+    cfg, kw = scenario_config(name)
+    n = frames or kw["frames"]
+    pts = kw["points"]
+    sensors = kw.get("sensors", 1)
+
+    sims = [LivoxSimulator(SimConfig(points_per_frame=pts, seed=s))
+            for s in range(sensors)]
+    pipe = OdometryPipeline(cfg)
+    t0 = time.perf_counter()
+    for i in range(n):
+        if sensors == 1:
+            xyz, inten, bt = sims[0].frame(i)
+            pipe.process_raw(xyz, inten, bt)
+        else:
+            # merged multi-sensor ingestion: concatenate head clouds
+            # (the Mid-100 driver publishes a common frame)
+            parts = [s.frame(i) for s in sims]
+            xyz = np.concatenate([p[0] for p in parts])
+            inten = np.concatenate([p[1] for p in parts])
+            pipe.process_raw(xyz, inten, parts[0][2])
+    wall = time.perf_counter() - t0
+    est = pipe.trajectory.positions_array()
+    gt = np.stack([sims[0].gt_pose_at(t)[1] for t in pipe.trajectory.times])
+    return {
+        "scenario": name,
+        "frames": n,
+        "fps": round(n / wall, 2),
+        "ate_aligned": round(ate_rmse(est, gt), 4),
+        "ate_raw": round(ate_rmse(est, gt, align=False), 4),
+        "accepted": int(sum(pipe.trajectory.accepted)),
+        "loop_closed": bool(pipe.loop_closer and pipe.loop_closer.closed),
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    names = sys.argv[1:] or list(SCENARIOS)
+    for nm in names:
+        print(json.dumps(run_scenario(nm)), flush=True)

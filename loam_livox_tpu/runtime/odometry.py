@@ -214,8 +214,10 @@ def odometry_step(
 
     # ---- input downsample (reference :1368-1373) ------------------------
     if cfg.mapping.input_downsample_mode:
-        corner_in = voxel_downsample(frame.corners, fe.mapping_line_resolution)
-        surf_in = voxel_downsample(frame.surface, fe.mapping_plane_resolution)
+        corner_in = voxel_downsample(frame.corners, fe.mapping_line_resolution,
+                                     capacity=caps.max_corner_ds)
+        surf_in = voxel_downsample(frame.surface, fe.mapping_plane_resolution,
+                                   capacity=caps.max_surface_ds)
     else:
         corner_in, surf_in = frame.corners, frame.surface
 
