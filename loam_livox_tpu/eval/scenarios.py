@@ -35,11 +35,16 @@ def scenario_config(name: str):
         )
         return cfg, {"frames": 60, "points": 10000}
     if name == "largescale_realtime":
-        # 3: coarse resolutions, realtime profile
+        # 3: coarse resolutions, realtime profile, large outdoor-scale
+        # scene (the HKUST_01 analogue — the 1.2 m plane leaf assumes
+        # big structure)
         cfg = largescale_profile().replace(
             mapping={"init_accumulate_frames": 20},
         )
-        return cfg, {"frames": 60, "points": 10000}
+        return cfg, {"frames": 60, "points": 10000,
+                     "scene": {"half_extent": 45.0, "half_extent_z": 8.0,
+                               "n_pillars": 14, "n_ridges": 24},
+                     "traj_scale": 4.0}
     if name == "loop_closure":
         # 4: loop closure enabled (scene alignment + pose graph)
         cfg = SlamConfig().replace(
@@ -70,13 +75,27 @@ def run_scenario(name: str, frames: int | None = None) -> Dict:
     from ..io.simulator import LivoxSimulator, SimConfig
     from ..runtime.pipeline import OdometryPipeline
 
+    from ..io.simulator import ConvexScene, Trajectory
+
     cfg, kw = scenario_config(name)
     n = frames or kw["frames"]
     pts = kw["points"]
     sensors = kw.get("sensors", 1)
 
-    sims = [LivoxSimulator(SimConfig(points_per_frame=pts, seed=s))
-            for s in range(sensors)]
+    # the standstill ramp must cover the init-accumulation window (real
+    # captures hold still while the seed map accumulates)
+    ramp = 0.1 * cfg.mapping.init_accumulate_frames + 0.2
+    tscale = kw.get("traj_scale", 1.0)
+    sims = []
+    for s in range(sensors):
+        rng = np.random.default_rng(s)
+        scene = (ConvexScene.random_room(rng, **kw["scene"])
+                 if "scene" in kw else None)
+        traj = Trajectory(ramp_t0=ramp)
+        traj.lin_amp = traj.lin_amp * tscale
+        sims.append(LivoxSimulator(
+            SimConfig(points_per_frame=pts, seed=s),
+            scene=scene, traj=traj))
     pipe = OdometryPipeline(cfg)
     t0 = time.perf_counter()
     for i in range(n):
