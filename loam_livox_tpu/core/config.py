@@ -128,6 +128,13 @@ class MappingConfig:
     # history admission gates (reference: laser_mapping.hpp:80-84)
     history_add_t_step: float = 0.0
     history_add_angle_step: float = 0.0
+    # Rejected-frame pose policy: 0 = freeze at the previous pose (the
+    # reference's rollback, point_cloud_registration.hpp:561-573);
+    # 1 = coast on the last accepted increment (constant-velocity
+    # prediction).  Freeze is the default: measured on oscillating
+    # trajectories, blind coasting through a rejection streak integrates
+    # a stale velocity and drifts far worse than freezing.
+    reject_recovery_mode: int = 0
     # Cell-map grid resolution; the effective cell box size is half this
     # (reference: m_pt_cell_resolution = 1.0, laser_mapping.hpp:272,
     # halved by set_resolution, cell_map_keyframe.hpp:675-680).

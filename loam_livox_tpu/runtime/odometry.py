@@ -78,6 +78,10 @@ class OdometryState(NamedTuple):
     # History admission gate state (reference: m_last_his_add_q/t, :80-84).
     last_his_q: jax.Array
     last_his_t: jax.Array
+    # Last ACCEPTED increment — the constant-velocity coast applied on
+    # rejected frames (mapping.reject_recovery_mode=1).
+    last_q_incre: jax.Array
+    last_t_incre: jax.Array
     # Cell maps of registered features (reference: m_pt_cell_map_corners
     # / m_pt_cell_map_planes, laser_mapping.hpp:274-275,1491-1493);
     # matching source in cell mode, keyframe source for loop closure.
@@ -121,6 +125,8 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         hist_len=jnp.int32(0),
         last_his_q=se3.quat_identity(),
         last_his_t=jnp.zeros(3, jnp.float32),
+        last_q_incre=se3.quat_identity(),
+        last_t_incre=jnp.zeros(3, jnp.float32),
         cell_corners=empty_cell_map(
             cfg.mapping.cell_resolution * 0.5,
             caps.cell_capacity if _need_cell_maps(cfg) else 1,
@@ -235,8 +241,25 @@ def odometry_step(
         grid_surface=state.grid_surface,
     )
 
-    # Rejected frames: keep previous pose, add nothing (reference :1416-1420).
+    # Rejected frames: add nothing to the map (reference :1416-1420).
     add_frame = reg.accepted
+
+    # Pose policy for rejected frames (see MappingConfig.reject_recovery_mode):
+    # coast on the last accepted increment instead of freezing.
+    rejected = jnp.logical_and(reg.enabled, jnp.logical_not(reg.accepted))
+    if cfg.mapping.reject_recovery_mode == 1:
+        coast_q = se3.quat_normalize(
+            se3.quat_multiply(state.q_w, state.last_q_incre))
+        coast_t = se3.quat_rotate(state.q_w, state.last_t_incre) + state.t_w
+        q_pose = jnp.where(rejected, coast_q, reg.q_w)
+        t_pose = jnp.where(rejected, coast_t, reg.t_w)
+    else:
+        q_pose, t_pose = reg.q_w, reg.t_w
+    reg = reg._replace(q_w=q_pose, t_w=t_pose)
+    last_q_incre = jnp.where(reg.accepted & reg.enabled, reg.q_incre,
+                             state.last_q_incre)
+    last_t_incre = jnp.where(reg.accepted & reg.enabled, reg.t_incre,
+                             state.last_t_incre)
 
     # ---- world transform with deblur (reference :1422-1437) -------------
     s_c = refine_blur(corner_in.time, frame.time_min, frame.time_max, deblur)
@@ -352,6 +375,8 @@ def odometry_step(
         hist_len=hist_len,
         last_his_q=last_his_q,
         last_his_t=last_his_t,
+        last_q_incre=last_q_incre,
+        last_t_incre=last_t_incre,
         cell_corners=cell_corners,
         cell_planes=cell_planes,
         cell_full=cell_full,
