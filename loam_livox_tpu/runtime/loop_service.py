@@ -130,6 +130,23 @@ class LoopCloser:
         member = self._member(m, rec)
         rec.descriptor = jax.device_get(describe_keyframe(m, member))
         self.keyframes.append(rec)
+        if self.lc.if_dump_keyframe_data and self.dump_dir:
+            # per-keyframe JSON in the reference's cell-map schema
+            # (reference laser_mapping.hpp:972-977)
+            import os
+
+            from ..io.serialization import cell_map_to_json
+            import json as _json
+
+            os.makedirs(self.dump_dir, exist_ok=True)
+            member_np = np.asarray(member)
+            cells = [c for i, c in zip(
+                np.nonzero(np.asarray(m.valid()))[0],
+                cell_map_to_json(m)) if member_np[i]]
+            with open(os.path.join(
+                    self.dump_dir,
+                    f"keyframe_{rec.ending_frame_idx}.json"), "w") as f:
+                _json.dump(cells, f)
         if self.closed or not self.lc.if_enable_loop_closure:
             return
         self._scan_for_loop(m)

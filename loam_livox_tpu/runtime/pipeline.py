@@ -59,6 +59,28 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
 
     fe = cfg.feature_extraction
     caps = cfg.capacity
+
+    if cfg.common.lidar_type == "velodyne":
+        # Classic mechanical-lidar path (reference lidar_type switch,
+        # laser_feature_extractor.hpp:827-864): one sweep, no piecewise.
+        from ..frontend.velodyne import extract_velodyne_features
+
+        frame = extract_velodyne_features(
+            pts, mask, jnp.asarray(t0, jnp.float32), fe, caps)
+        frame = frame._replace(
+            corners=voxel_downsample(frame.corners,
+                                     fe.mapping_line_resolution,
+                                     capacity=caps.max_corner),
+            surface=voxel_downsample(frame.surface,
+                                     fe.mapping_plane_resolution / 2.0,
+                                     capacity=caps.max_surface),
+        )
+        state, reg = odometry_step(state, frame, cfg)
+        one = lambda x: jnp.asarray(x)[None]
+        poses = (one(reg.q_w), one(reg.t_w), one(reg.accepted),
+                 one(frame.time_min))
+        return state, reg, poses
+
     info, n_petals = extract_point_info(pts, inten, mask,
                                         jnp.asarray(t0, jnp.float32), fe, caps)
 
