@@ -102,6 +102,12 @@ class OptimizationConfig:
     # ~100× less arithmetic — the crossover choice for much larger
     # matching buffers).
     correspondence: str = "dense"
+    # 0 = exact forward-mode autodiff for the deblur Jacobian
+    # (Ceres-equivalent; the default — the first-order analytic
+    # approximation degrades deblur acceptance 56/60 -> 40/60 because
+    # step-direction bias compounds with deblur's error amplification);
+    # 1 = the approximate analytic fast path.
+    deblur_analytic_jacobian: int = 0
     # Bucket sizes bound the search radius (±1 bucket); defaults sized
     # for the shipped resolutions vs the match gates
     # (maximum_dis_line/plane_for_match).
@@ -191,6 +197,9 @@ class CapacityConfig:
     # per-frame capacities of the history ring buffers (world-frame,
     # voxel-downsampled registered features — reference keeps full
     # dynamically-sized clouds in std::list, laser_mapping.hpp:1444-1463)
+    # sized so a frame's world-transformed features never truncate
+    # (lexicographic voxel truncation spatially biases the map and
+    # measurably degrades ATE)
     hist_corner_capacity: int = 512
     hist_surf_capacity: int = 2048
     # matching-buffer rebuild cadence in frames: 1 = every frame (the

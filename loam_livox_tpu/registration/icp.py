@@ -176,7 +176,10 @@ def register_frame(
 
             return f
 
-        def fj_with_mask(extra_mask):
+        if deblur and not opt.deblur_analytic_jacobian:
+            fj_with_mask = None
+        else:
+          def fj_with_mask(extra_mask):
             def fj(q, t):
                 r, _ = f_with_mask(extra_mask)(q, t)
                 if deblur:
