@@ -8,6 +8,11 @@ Data sources:
 * ``--source pcd:<dir>``  directory of per-frame .pcd files named in
                           frame order (the interop path for converted
                           rosbags)
+* ``--source bag:<file>[:<topic>]``  ROS1 bag (format 2.0) replay —
+                          sensor_msgs/PointCloud2 or
+                          livox_ros_driver/CustomMsg, no ROS required
+                          (reference README.md:76-137 rosbag datasets)
+* ``--source lvx:<file>`` Livox .lvx capture (regrouped to 0.1 s frames)
 
 Examples:
     python -m loam_livox_tpu.cli.run_odometry --profile realtime --frames 100
@@ -31,7 +36,8 @@ def parse_args(argv=None):
                    choices=["precision", "realtime", "largescale"],
                    default="precision")
     p.add_argument("--source", default="sim",
-                   help="'sim' or 'pcd:<dir>' of per-frame .pcd files")
+                   help="'sim', 'pcd:<dir>', 'bag:<file>[:<topic>]', "
+                        "or 'lvx:<file>'")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--piecewise", type=int, default=None,
                    help="override common/piecewise_number")
@@ -86,6 +92,28 @@ def frame_stream(args, cfg):
 
                 inten = np.ones(len(xyz), np.float32)
             yield xyz, inten, i * period
+    elif args.source.startswith("bag:"):
+        from ..io.rosbag import bag_frame_stream
+
+        spec = args.source[4:]
+        # 'bag:file.bag' or 'bag:file.bag:/livox/lidar'
+        if ":" in spec:
+            path, topic = spec.split(":", 1)
+        else:
+            path, topic = spec, None
+        for i, (xyz, inten, stamp) in enumerate(
+                bag_frame_stream(path, topic)):
+            if i >= args.frames:
+                break
+            yield xyz, inten, stamp
+    elif args.source.startswith("lvx:"):
+        from ..io.lvx import LvxReader
+
+        reader = LvxReader(args.source[4:])
+        for i, (xyz, refl, stamp) in enumerate(reader.frames()):
+            if i >= args.frames:
+                break
+            yield xyz, refl, stamp
     else:
         raise SystemExit(f"unknown source {args.source!r}")
 
@@ -102,12 +130,13 @@ def main(argv=None):
     for xyz, inten, stamp in frame_stream(args, cfg):
         pipe.process_raw(xyz, inten, stamp)
         n += 1
-        if not args.quiet and n % 10 == 0:
+        if not args.quiet and n % 10 == 0 and pipe.trajectory.positions:
             import numpy as np
 
             print(f"frame {n}: t_w="
                   f"{np.round(pipe.trajectory.positions[-1], 3).tolist()}",
                   file=sys.stderr)
+    pipe.flush()
     wall = time.perf_counter() - t0
 
     if args.save_poses:

@@ -202,11 +202,13 @@ class CapacityConfig:
     # measurably degrades ATE)
     hist_corner_capacity: int = 512
     hist_surf_capacity: int = 2048
-    # matching-buffer rebuild cadence in frames: 1 = every frame (the
-    # precision profile's tight delay tolerance), larger = the staleness
-    # the realtime profile tolerates via its async refresh thread
-    # (reference: laser_mapping.hpp:568-576, maximum_pointcloud_delay_time)
-    matching_rebuild_interval: int = 1
+    # matching-buffer rebuild cadence in frames: 0 = auto (derived from
+    # mapping/maximum_pointcloud_delay_time over the 0.1 s scan period:
+    # precision 0.1 s → every frame, realtime 1.0 s → every 10th),
+    # 1 = every frame, larger = that fixed staleness — the functional
+    # encoding of the reference's async refresh thread
+    # (laser_mapping.hpp:568-576, maximum_pointcloud_delay_time)
+    matching_rebuild_interval: int = 0
 
 
 @dataclass(frozen=True)

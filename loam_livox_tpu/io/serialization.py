@@ -52,7 +52,12 @@ def cell_map_to_json(m) -> List[dict]:
         n = int(count[i])
         have = min(n, pool)
         cell = {
-            "Pt_num": n,
+            # Reference invariant: Pt_num == number of points serialized
+            # in Pt_vec (load_mapping_from_file resizes m_points_vec to
+            # Pt_num and reads Pt_num*3 floats from Pt_vec —
+            # cell_map_keyframe.hpp:899-907); the exact full-count
+            # moments stay in Mean/Cov.
+            "Pt_num": have,
             "Res": cell_size,
             "Center": centers[i].tolist(),
             "Mean": mean[i].tolist(),
@@ -65,7 +70,10 @@ def cell_map_to_json(m) -> List[dict]:
                 ic = eye
             cell["Cov"] = c.flatten().tolist()
             cell["Icov"] = ic.flatten().tolist()
-            cell["Eig_vec"] = eig_vec[i].flatten().tolist()
+            # Eigen reads matrices by column-major linear index
+            # (tools_json.hpp:28) — emit Fortran order so the
+            # eigenvector matrix round-trips un-transposed.
+            cell["Eig_vec"] = eig_vec[i].T.flatten().tolist()
             cell["Eig_val"] = eig_val[i].tolist()
         else:
             cell["Cov"] = eye.flatten().tolist()
@@ -99,6 +107,12 @@ def load_cell_map_json(path: str, capacity: int = 8192,
         cells = json.load(f)
     if not cells:
         return empty_cell_map(1.0, capacity, pool_size)
+    if len(cells) > capacity:
+        import warnings
+
+        warnings.warn(
+            f"cell-map JSON has {len(cells)} cells > capacity {capacity}; "
+            "excess cells are dropped — raise `capacity` to load all")
     cell_size = float(cells[0]["Res"])
     m = empty_cell_map(cell_size, capacity, pool_size)
 
@@ -120,7 +134,7 @@ def load_cell_map_json(path: str, capacity: int = 8192,
     b = PointBatch(xyz=jnp.asarray(padded),
                    time=jnp.zeros((cap_pts,), jnp.float32),
                    mask=jnp.asarray(mask))
-    m, _ = append_cloud(m, b, 10**9, max_new=min(capacity, 4096))
+    m, _ = append_cloud(m, b, 10**9, max_new=capacity)
 
     # Overwrite moments from the recorded stats.
     from ..map.cell_map import point_keys, _lookup  # noqa: F401 (internal)

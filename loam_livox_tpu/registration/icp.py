@@ -282,7 +282,12 @@ def register_frame(
         enabled=run,
         final_cost=state.final_cost,
         gate_cost=gate_cost,
-        inlier_threshold=state.inlier_threshold,
+        # A registration that never ran must read as a REJECTION to the
+        # loop gate (score < threshold accepts): report +inf-ish, not
+        # the 0.0 init, or an empty keyframe pair would be accepted as a
+        # perfect loop with the raw center-difference transform.
+        inlier_threshold=jnp.where(run, state.inlier_threshold,
+                                   jnp.float32(1e9)),
         angular_diff_deg=angular_diff,
         t_diff=t_diff,
         n_blocks=state.n_blocks,

@@ -351,7 +351,16 @@ def odometry_step(
         cell_corners=cell_corners, cell_planes=cell_planes,
         q_w=reg.q_w, t_w=reg.t_w,
     )
-    interval = max(int(caps.matching_rebuild_interval), 1)
+    interval = int(caps.matching_rebuild_interval)
+    if interval == 0:
+        # Auto: derive the cadence from the staleness the profile
+        # tolerates (`mapping/maximum_pointcloud_delay_time` over the
+        # 0.1 s design scan period, laser_feature_extractor.hpp:68) —
+        # the functional encoding of the reference's async refresh
+        # thread lagging up to that long (laser_mapping.hpp:568-576).
+        interval = max(
+            1, round(cfg.mapping.maximum_pointcloud_delay_time / 0.1))
+    interval = max(interval, 1)
     do_rebuild = jnp.logical_and(
         admit, (state.frame_count % interval) == 0) if interval > 1 else admit
 

@@ -15,10 +15,21 @@ The reference's node-level behaviors reproduced here:
 * frame-drop backpressure is not needed: the loop is synchronous, so
   the queue never grows (the reference drops frames only because its
   producer can outrun its consumer, laser_mapping.hpp:1702-1707).
+
+Frame pipelining (`common/maximum_parallel_thread`, reference
+``laser_mapping.hpp:1737-1742`` — up to N frames' registrations in
+flight): with depth D > 1 the host defers the device→host readback of
+each frame's results by up to D frames, so the chip computes frame t
+while the host pads/feeds frame t+1 and post-processes frame t−D
+(logging, trajectory, loop-closure bookkeeping).  JAX's async dispatch
+provides the overlap; the pending queue bounds it.  The state handoff
+between steps stays on-device either way — depth only controls when
+the host *observes* results, never what is computed.
 """
 from __future__ import annotations
 
 import time as _time
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional
@@ -88,6 +99,11 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
         [jnp.arange(piecewise_number) / piecewise_number,
          (jnp.arange(piecewise_number) + 1) / piecewise_number],
         axis=-1).astype(jnp.float32)
+    if cfg.common.odom_mode == 0 and piecewise_number > 1:
+        # Odometry mode publishes only the FIRST piecewise window per
+        # frame — the reference's extractor loop `break`s after piece 0
+        # when m_odom_mode == 0 (laser_feature_extractor.hpp:385-388).
+        bounds = bounds[:1]
 
     def piece_step(st, lohi):
         piece = select_features(pts, info, n_petals, lohi[0], lohi[1],
@@ -137,11 +153,25 @@ class OdometryPipeline:
             from .loop_service import LoopCloser
 
             self.loop_closer = LoopCloser(cfg)
+        # Pipelining depth (see module docstring).  Depth 1 = drain
+        # every frame (fully synchronous, the precision profile);
+        # depth N = up to N frames' results in flight.
+        self.pipeline_depth = max(1, int(cfg.common.maximum_parallel_thread))
+        self._pending: deque = deque()
+        self._frame_idx = 0
+        self._pcd_dir = None
+        if cfg.common.if_save_to_pcd_files:
+            import os
+
+            self._pcd_dir = os.path.join(log_dir or ".", "pcd")
+            os.makedirs(self._pcd_dir, exist_ok=True)
 
     def process_raw(self, xyz: np.ndarray, intensity: np.ndarray,
                     base_time: float) -> None:
         """One raw sensor frame → piecewise feature frames → odometry
-        (one fused device program)."""
+        (one fused device program).  With pipeline_depth > 1 the
+        results are observed up to depth frames later; call `flush()`
+        before reading the trajectory."""
         caps = self.cfg.capacity
         n = caps.max_raw_points
         pts = np.zeros((n, 3), np.float32)
@@ -165,6 +195,30 @@ class OdometryPipeline:
             jnp.asarray(mask), jnp.float32(base_time), self.cfg,
             piecewise_number=pieces,
         )
+        # Defer the device→host sync: park the (device-array) results
+        # and the state snapshot this frame produced.  The snapshot is
+        # a functional pytree — later steps never mutate it, so loop
+        # bookkeeping done at drain time sees exactly frame t's map.
+        self._pending.append(
+            (self._frame_idx, self.state, reg, poses,
+             pts[:m] if self._pcd_dir else None))
+        self._frame_idx += 1
+        if self.pipeline_depth == 1:
+            while self._pending:        # fully synchronous
+                self._drain_one()
+        else:
+            while len(self._pending) > self.pipeline_depth:
+                self._drain_one()
+
+    def flush(self) -> None:
+        """Drain all in-flight frames (host observes every result)."""
+        while self._pending:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        from ..utils import logging as L
+
+        frame_idx, state, reg, poses, raw_pts = self._pending.popleft()
         q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
         if self.logger.enabled():
             # per-frame quality metrics, mirroring the reference's
@@ -174,7 +228,7 @@ class OdometryPipeline:
                 "mapping",
                 "frame %d: cost=%.6f inlier_thr=%.6f blocks=%d iters=%d "
                 "dR=%.3fdeg dT=%.3fm accepted=%d",
-                int(self.state.frame_count), float(reg.final_cost),
+                frame_idx, float(reg.final_cost),
                 float(reg.inlier_threshold), int(reg.n_blocks),
                 int(reg.iterations), float(reg.angular_diff_deg),
                 float(reg.t_diff), int(bool(reg.accepted)))
@@ -191,7 +245,37 @@ class OdometryPipeline:
             self.trajectory.quaternions.append(q_ws[p])
             self.trajectory.accepted.append(bool(accepted[p]))
 
-        self._maybe_drive_loop(q_ws, t_ws)
+        if self._pcd_dir is not None and raw_pts is not None:
+            # Registered full cloud per frame (reference
+            # laser_mapping.hpp:1608-1611 `save_to_pcd_files("aft_mapp",
+            # ...)`); host-side endpoint-pose transform (the on-device
+            # path additionally deblur-interpolates per point).
+            from ..core import se3
+            from ..io.serialization import save_pcd
+
+            R = np.asarray(se3.quat_to_matrix(jnp.asarray(q_ws[-1])))
+            world = raw_pts @ R.T + t_ws[-1]
+            save_pcd(f"{self._pcd_dir}/aft_mapp_{frame_idx}.pcd", world)
+
+        if self.loop_closer is not None and not self.loop_closer.closed:
+            # Keyframe accumulation consumes the last piece's
+            # touched-cell mask (with piecewise > 1 the intermediate
+            # pieces' masks are folded into the same raw frame —
+            # keyframe cadence then counts raw frames, a documented
+            # divergence from the reference's per-piece counting).
+            self.loop_closer.on_frame(
+                state.cell_full, state.last_touched,
+                q_ws[-1], t_ws[-1], frame_idx)
+
+    def get_corrected_map(self, stride: int = 2,
+                          resolution: float = 0.0) -> np.ndarray:
+        """Corrected global map after an accepted loop closure — the
+        analogue of the reference's /pc_aft_loop_closure republish
+        (laser_mapping.hpp:1091-1100).  Raises if no loop accepted."""
+        if self.loop_closer is None or self.loop_closer.result is None:
+            raise RuntimeError("no accepted loop closure to refine from")
+        return self.loop_closer.corrected_map(
+            self.state.cell_full, stride=stride, resolution=resolution)
 
     def get_surround_map(self, radius: float | None = None) -> np.ndarray:
         """Visualization map around the current pose — the analogue of
@@ -215,17 +299,6 @@ class OdometryPipeline:
         ds = voxel_downsample(batch, res)
         return np.asarray(ds.xyz)[np.asarray(ds.mask)]
 
-    def _maybe_drive_loop(self, q_ws, t_ws) -> None:
-        if self.loop_closer is not None and not self.loop_closer.closed:
-            # Keyframe accumulation consumes the last piece's
-            # touched-cell mask (with piecewise > 1 the intermediate
-            # pieces' masks are folded into the same raw frame —
-            # keyframe cadence then counts raw frames, a documented
-            # divergence from the reference's per-piece counting).
-            self.loop_closer.on_frame(
-                self.state.cell_full, self.state.last_touched,
-                q_ws[-1], t_ws[-1], int(self.state.frame_count))
-
     def process_feature_frame(self, frame: FeatureFrame) -> None:
         self.state, reg = odometry_step(self.state, frame, self.cfg)
         t = float(frame.time_min)
@@ -248,8 +321,9 @@ def run_odometry(
     for i in range(n_frames):
         xyz, inten, base_t = sim.frame(i)
         pipe.process_raw(xyz, inten, base_t)
-        if verbose and (i + 1) % 10 == 0:
+        if verbose and (i + 1) % 10 == 0 and pipe.trajectory.positions:
             print(f"frame {i + 1}/{n_frames} t_w="
                   f"{np.round(pipe.trajectory.positions[-1], 3)}")
+    pipe.flush()
     wall = _time.perf_counter() - t0
     return pipe, sim, wall

@@ -30,6 +30,13 @@ class FrameAssembler:
         self.max_buffer = max_buffer
         self.dropped = 0
 
+    @classmethod
+    def from_config(cls, cfg) -> "FrameAssembler":
+        """Queue capacity from ``mapping/maximum_mapping_buffer``
+        (reference: the drop-oldest bound on the mapping work queue,
+        laser_mapping.hpp:1697-1707; realtime profile ships 50)."""
+        return cls(max_buffer=int(cfg.mapping.maximum_mapping_buffer))
+
     def add(self, kind: str, stamp: float, xyz: np.ndarray,
             time: Optional[np.ndarray] = None) -> None:
         assert kind in (self.CORNER, self.SURFACE, self.FULL)

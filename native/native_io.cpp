@@ -49,7 +49,36 @@ struct Cloud {
 // PCD decoding
 // ---------------------------------------------------------------------------
 
-Cloud decode_pcd_buffer(const char* data, size_t len) {
+// Read one scalar of the given TYPE/SIZE at p as float.  Returns false
+// for unsupported layouts (callers surface a decode error rather than
+// reinterpreting bytes as the wrong type).
+bool read_scalar(const char* p, char type, int size, float* v) {
+    if (type == 'F' && size == 4) {
+        std::memcpy(v, p, 4);
+        return true;
+    }
+    if (type == 'F' && size == 8) {
+        double d;
+        std::memcpy(&d, p, 8);
+        *v = (float)d;
+        return true;
+    }
+    if (type == 'U' || type == 'I') {
+        int64_t raw = 0;
+        if (size == 1 || size == 2 || size == 4) {
+            std::memcpy(&raw, p, size);
+            if (type == 'I') {  // sign-extend
+                int shift = 64 - size * 8;
+                raw = (raw << shift) >> shift;
+            }
+            *v = (float)raw;
+            return true;
+        }
+    }
+    return false;
+}
+
+Cloud decode_pcd_buffer_impl(const char* data, size_t len) {
     Cloud out;
     // parse header lines until DATA
     size_t pos = 0;
@@ -92,6 +121,11 @@ Cloud decode_pcd_buffer(const char* data, size_t len) {
     if (counts.empty()) counts.assign(fields.size(), 1);
     if (sizes.empty()) sizes.assign(fields.size(), 4);
     if (types.empty()) types.assign(fields.size(), 'F');
+    if (sizes.size() != fields.size() || types.size() != fields.size() ||
+        counts.size() != fields.size()) {
+        out.err = "PCD header FIELDS/SIZE/TYPE/COUNT length mismatch";
+        return out;
+    }
 
     int xi = -1, yi = -1, zi = -1, ii = -1;
     int stride = 0;                 // bytes per point
@@ -109,27 +143,39 @@ Cloud decode_pcd_buffer(const char* data, size_t len) {
         return out;
     }
 
+    if (mode == "binary") {
+        // Bound npoints by the actual payload BEFORE any allocation —
+        // a corrupt POINTS value must not drive a multi-GB resize.
+        if (stride <= 0 || pos > len ||
+            (size_t)npoints > (len - pos) / (size_t)stride) {
+            out.err = "truncated binary PCD payload";
+            return out;
+        }
+    } else if ((size_t)npoints > len) {  // ascii needs ≥1 byte per point
+        out.err = "truncated ascii PCD payload";
+        return out;
+    }
     out.n = npoints;
     out.xyz.resize((size_t)npoints * 3);
     if (ii >= 0) out.intensity.resize((size_t)npoints);
 
     if (mode == "binary") {
-        if (pos + (size_t)npoints * stride > len) {
-            out.err = "truncated binary PCD payload";
-            return out;
-        }
         const char* p = data + pos;
         for (long i = 0; i < npoints; i++, p += stride) {
-            float v;
-            std::memcpy(&v, p + offsets[xi], 4);
-            out.xyz[i * 3 + 0] = v;
-            std::memcpy(&v, p + offsets[yi], 4);
-            out.xyz[i * 3 + 1] = v;
-            std::memcpy(&v, p + offsets[zi], 4);
-            out.xyz[i * 3 + 2] = v;
-            if (ii >= 0) {
-                std::memcpy(&v, p + offsets[ii], 4);
-                out.intensity[i] = v;
+            bool ok3 =
+                read_scalar(p + offsets[xi], types[xi], sizes[xi],
+                            &out.xyz[i * 3 + 0]) &&
+                read_scalar(p + offsets[yi], types[yi], sizes[yi],
+                            &out.xyz[i * 3 + 1]) &&
+                read_scalar(p + offsets[zi], types[zi], sizes[zi],
+                            &out.xyz[i * 3 + 2]);
+            if (ii >= 0)
+                ok3 = ok3 && read_scalar(p + offsets[ii], types[ii],
+                                         sizes[ii], &out.intensity[i]);
+            if (!ok3) {
+                out = Cloud();
+                out.err = "unsupported PCD field TYPE/SIZE";
+                return out;
             }
         }
     } else {  // ascii
@@ -150,6 +196,18 @@ Cloud decode_pcd_buffer(const char* data, size_t len) {
     }
     out.ok = true;
     return out;
+}
+
+// Exception firewall: decode runs with the GIL released, so an escaping
+// bad_alloc/length_error would terminate the process instead of raising.
+Cloud decode_pcd_buffer(const char* data, size_t len) {
+    try {
+        return decode_pcd_buffer_impl(data, len);
+    } catch (const std::exception& e) {
+        Cloud c;
+        c.err = std::string("PCD decode failed: ") + e.what();
+        return c;
+    }
 }
 
 Cloud decode_pcd_file(const std::string& path) {

@@ -44,6 +44,7 @@ def run(name):
     for i in range(N_FRAMES):
         xyz, inten, bt = sim.frame(i)
         pipe.process_raw(xyz, inten, bt)
+    pipe.flush()
     wall = time.perf_counter() - t0
     est = pipe.trajectory.positions_array()
     gt = np.stack([sim.gt_pose_at(t)[1] for t in pipe.trajectory.times])

@@ -7,6 +7,10 @@ os.environ writes at import time (conftest is imported first).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The persistent-cache AOT loader logs a benign machine-feature E-line
+# per cache hit (the "+prefer-no-scatter" XLA tuning pseudo-features);
+# silence C++ logging below FATAL.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +23,16 @@ import jax  # noqa: E402
 # JAX_PLATFORMS programmatically; undo it so tests run on the virtual
 # 8-device CPU platform.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the fused frame program costs minutes of
+# XLA compile on this host; cache it across pytest processes so repeat
+# runs skip straight to execution.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/jax_xla_cache"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 
