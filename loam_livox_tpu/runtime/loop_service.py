@@ -262,26 +262,37 @@ class LoopCloser:
 
     # ---- map refinement (reference Mapping_refine, ------------------
     # ceres_pose_graph_3d.hpp:437-500) ---------------------------------
+    def _keyframe_cloud(self, m: CellMap, idx: int) -> np.ndarray:
+        """World-frame member cell points of keyframe `idx`."""
+        from ..map.cell_map import gather_cell_points
+
+        pts = gather_cell_points(m, self._member(m, self.keyframes[idx]))
+        return np.asarray(pts.xyz)[np.asarray(pts.mask)]
+
     def refine_keyframe_cloud(self, m: CellMap, idx: int) -> np.ndarray:
         """Member cell points of keyframe `idx`, re-transformed by
         (T_opt · T_ori⁻¹) — the post-loop map correction."""
         assert self.result is not None and self.result.accepted
-        rec = self.keyframes[idx]
-        from ..map.cell_map import gather_cell_points
+        from ..loop.map_refine import refine_points
 
-        member = self._member(m, rec)
-        pts = gather_cell_points(m, member)
-        xyz = np.asarray(pts.xyz)[np.asarray(pts.mask)]
-        q_ori, t_ori = rec.q, rec.t
-        q_opt = self.result.q_opt[idx]
-        t_opt = self.result.t_opt[idx]
-        # T_corr = T_opt ∘ T_ori⁻¹
-        q_oi = np.asarray(se3.quat_conjugate(jnp.asarray(q_ori, jnp.float32)))
-        q_corr = np.asarray(se3.quat_multiply(jnp.asarray(q_opt, jnp.float32),
-                                              jnp.asarray(q_oi)))
-        R_oi = np.asarray(se3.quat_to_matrix(jnp.asarray(q_oi)))
-        t_corr = (t_opt + np.asarray(se3.quat_rotate(
-            jnp.asarray(q_opt, jnp.float32),
-            jnp.asarray(R_oi @ (-t_ori), jnp.float32))))
-        R_corr = np.asarray(se3.quat_to_matrix(jnp.asarray(q_corr, jnp.float32)))
-        return xyz @ R_corr.T + t_corr
+        rec = self.keyframes[idx]
+        return refine_points(self._keyframe_cloud(m, idx), rec.q, rec.t,
+                             self.result.q_opt[idx],
+                             self.result.t_opt[idx])
+
+    def corrected_map(self, m: CellMap, stride: int = 2,
+                      resolution: float = 0.0) -> np.ndarray:
+        """The corrected GLOBAL map after an accepted loop: every
+        `stride`-th keyframe's cloud re-transformed and merged — what
+        the reference republishes on /pc_aft_loop_closure
+        (laser_mapping.hpp:1091-1100, stride 2)."""
+        assert self.result is not None and self.result.accepted
+        from ..loop.map_refine import rebuild_corrected_map
+
+        clouds = [self._keyframe_cloud(m, i)
+                  for i in range(len(self.keyframes))]
+        qs = np.stack([k.q for k in self.keyframes])
+        ts = np.stack([k.t for k in self.keyframes])
+        return rebuild_corrected_map(
+            clouds, (ts, qs), (self.result.t_opt, self.result.q_opt),
+            stride=stride, resolution=resolution)
