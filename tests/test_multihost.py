@@ -1,0 +1,57 @@
+"""Two-process `jax.distributed` test — SURVEY.md §4's prescribed
+multi-host pattern: `initialize_multihost` across real OS processes
+with per-process virtual CPU devices, one cross-process psum through
+the sharded GN reduction.  Validates that `parallel.mesh
+.initialize_multihost` is working code, not a helper on faith
+(VERDICT round-1 item 7)."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_psum():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=210)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker hung")
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        results = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert len(results) == 1, out
+        outs.append(results[0])
+    # replicated psum outputs must be identical across processes
+    assert outs[0] == outs[1], outs
+    # and match the analytic values: H = diag(0,0,0,1,1,1)*N ⇒ tr = 3N;
+    # r = const (0.05, -0.02, 0.01) ⇒ cost = N·|r|², g = N·r (norm)
+    import numpy as np
+
+    n = 64
+    r = np.array([0.05, -0.02, 0.01])
+    tr, gn, cost = map(float, outs[0].split()[1:])
+    assert abs(tr - 3 * n) < 1e-3
+    assert abs(gn - n * np.linalg.norm(r)) < 1e-3
+    assert abs(cost - n * (r @ r)) < 1e-4
