@@ -17,8 +17,45 @@ import numpy as np
 from ..core.config import SlamConfig, largescale_profile, realtime_profile
 
 
-def scenario_config(name: str):
-    """Configs for the 5 BASELINE.json scenarios."""
+#: CPU-scale capacity overrides for the CI golden tests — one shared
+#: static-shape set so the jitted frame program compiles once across
+#: the whole scenario matrix (full-capacity steps are ~3 s/frame on a
+#: CPU host; these run ~10× faster and still exercise every code path).
+SMALL_CAPS = {
+    "max_raw_points": 4096, "max_corner": 256, "max_surface": 1024,
+    "max_corner_ds": 256, "max_surface_ds": 1024,
+    "map_corner_capacity": 4096, "map_surf_capacity": 16384,
+    "hist_corner_capacity": 128, "hist_surf_capacity": 512,
+    "history_window": 16,
+}
+
+
+def scenario_config(name: str, small: bool = False):
+    """Configs for the 5 BASELINE.json scenarios.  ``small=True``
+    shrinks capacities/frames to the CPU-runnable CI variant (golden
+    ATE regression tests in tests/test_scenarios_ci.py)."""
+    cfg, kw = _scenario_config_full(name)
+    if small:
+        cfg = cfg.replace(
+            capacity=SMALL_CAPS,
+            mapping={"init_accumulate_frames": 6},
+            optimization={"icp_maximum_iteration": 5,
+                          "full_iterations": 3},
+        )
+        kw = dict(kw)
+        kw["points"] = 3072
+        kw["frames"] = min(kw["frames"], 24)
+        if name == "loop_closure":
+            # keyframes must complete within the shortened run
+            cfg = cfg.replace(loop_closure={
+                "scans_of_each_keyframe": 12,
+                "scans_between_two_keyframe": 6,
+                "minimum_keyframe_differen": 2})
+            kw["frames"] = 40
+    return cfg, kw
+
+
+def _scenario_config_full(name: str):
     if name == "odometry_only":
         # 1: Mid-40 short sequence, odometry-only, loop off (CPU-runnable)
         cfg = SlamConfig().replace(
@@ -82,14 +119,15 @@ SCENARIOS = ("odometry_only", "full_mapping", "largescale_realtime",
              "loop_closure", "mid100_multihost")
 
 
-def run_scenario(name: str, frames: int | None = None) -> Dict:
+def run_scenario(name: str, frames: int | None = None,
+                 small: bool = False) -> Dict:
     from ..eval.ate import ate_rmse
     from ..io.simulator import LivoxSimulator, SimConfig
     from ..runtime.pipeline import OdometryPipeline
 
     from ..io.simulator import ConvexScene, Trajectory
 
-    cfg, kw = scenario_config(name)
+    cfg, kw = scenario_config(name, small=small)
     n = frames or kw["frames"]
     pts = kw["points"]
     sensors = kw.get("sensors", 1)
@@ -123,6 +161,7 @@ def run_scenario(name: str, frames: int | None = None) -> Dict:
             xyz = np.concatenate([p[0] for p in parts])
             inten = np.concatenate([p[1] for p in parts])
             pipe.process_raw(xyz, inten, parts[0][2])
+    pipe.flush()
     wall = time.perf_counter() - t0
     est = pipe.trajectory.positions_array()
     gt = np.stack([sims[0].gt_pose_at(t)[1] for t in pipe.trajectory.times])

@@ -249,6 +249,96 @@ class ConvexScene:
         refl = rng.uniform(0.5, 1.5, size=len(parts))
         return ConvexScene.from_parts(parts, refl)
 
+    @staticmethod
+    def rotated_box_planes(rng, center, size):
+        """Box at `center` with edge lengths `size`, uniformly random
+        orientation (QR of a Gaussian)."""
+        A = rng.normal(size=(3, 3))
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        n_local = np.vstack([np.eye(3), -np.eye(3)])
+        d_local = np.concatenate([np.asarray(size) / 2,
+                                  np.asarray(size) / 2])
+        n = n_local @ Q.T
+        d = d_local + n @ np.asarray(center, np.float64)
+        return n, d
+
+    @staticmethod
+    def rock_planes(rng, center, radius, n_faces=10):
+        """Random convex polytope ("rock"): `n_faces` half-spaces with
+        uniformly random normals at 0.7-1.0·radius from the center —
+        every face has a distinct orientation, the cheap synthetic
+        stand-in for the orientation diversity of natural clutter."""
+        n = rng.normal(size=(n_faces, 3))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        d = radius * rng.uniform(0.7, 1.0, n_faces) + n @ np.asarray(
+            center, np.float64)
+        return n, d
+
+    @staticmethod
+    def random_rich_world(
+        rng: np.random.Generator,
+        half_extent: float = 14.0,
+        half_extent_z: float = 3.0,
+        n_rot_boxes: int = 14,
+        n_rocks: int = 22,
+        n_ridges: int = 10,
+    ) -> "ConvexScene":
+        """Orientation-RICH scene: walls + randomly-rotated boxes +
+        faceted rocks + crease ridges.
+
+        Purpose: the keyframe place-recognition admission gate requires
+        ≥5% of the 60×60 spherical histogram's bins nonzero
+        (`loop_closure/avail_ratio_plane` = 0.05 shipped,
+        reference laser_mapping.hpp:994-1001) — i.e. ≥180 distinct
+        plane-cell orientations per keyframe.  An axis-aligned box
+        world concentrates on ~6 normals and can never pass at the
+        shipped thresholds; this world's rotated faces and rock facets
+        supply the diversity real campus scenes have, so loop closure
+        can be validated with the reference's gates UNCHANGED."""
+        e = half_extent
+        ez = half_extent_z
+        w = 0.5
+        parts = []
+        walls = [
+            ([e, -e - w, -ez - w], [e + w, e + w, ez + w]),
+            ([-e - w, -e - w, -ez - w], [-e, e + w, ez + w]),
+            ([-e - w, e, -ez - w], [e + w, e + w, ez + w]),
+            ([-e - w, -e - w, -ez - w], [e + w, -e, ez + w]),
+            ([-e - w, -e - w, ez], [e + w, e + w, ez + w]),
+            ([-e - w, -e - w, -ez - w], [e + w, e + w, -ez]),
+        ]
+        for lo, hi in walls:
+            parts.append(ConvexScene.box_planes(lo, hi))
+        def clear_center(radius):
+            # keep a clearance bubble around the trajectory region so
+            # the sensor never spawns inside an object
+            while True:
+                c = rng.uniform(-0.85 * e, 0.85 * e, size=3)
+                if np.linalg.norm(c[:2]) > radius + 3.5:
+                    return c
+
+        for _ in range(n_rot_boxes):
+            c = clear_center(1.5)
+            c[2] = rng.uniform(-0.5 * ez, 0.3 * ez)
+            parts.append(ConvexScene.rotated_box_planes(
+                rng, c, rng.uniform(0.8, 2.6, size=3)))
+        for _ in range(n_rocks):
+            c = clear_center(1.8)
+            c[2] = rng.uniform(-0.7 * ez, 0.1 * ez)
+            parts.append(ConvexScene.rock_planes(
+                rng, c, rng.uniform(0.8, 1.8), n_faces=10))
+        for i in range(n_ridges):
+            x = rng.uniform(0.5 * e, 0.95 * e)
+            y = rng.uniform(-0.6 * e, 0.6 * e)
+            parts.append(ConvexScene.wedge_planes(
+                (x, y), -ez, ez, rng.uniform(1.0, 2.5),
+                rng.uniform(10.0, 20.0), rng.uniform(-25.0, 25.0),
+                horizontal=bool(i % 2)))
+        refl = rng.uniform(0.5, 1.5, size=len(parts))
+        return ConvexScene.from_parts(parts, refl)
+
     def raycast(self, origins: np.ndarray, dirs: np.ndarray):
         """First-hit distances (N,), object ids (N,); inf where no hit."""
         o = origins
