@@ -1,0 +1,205 @@
+"""Correspondence-engine + solver-kernel benchmark on the real TPU chip.
+
+Produces the artifact backing the engine-choice claims in
+`core/config.py` (dense MXU kNN vs bucket-grid vs Pallas) and the
+speed-of-light accounting VERDICT.md asked for: per-kernel wall time,
+arithmetic + minimal-HBM-traffic accounting, achieved vs peak, and the
+implied scans/s/chip for the §3.2 hot loop (reference
+``point_cloud_registration.hpp:249,351``).
+
+Writes scripts/bench_kernels_out.json and prints a markdown table.
+
+Run ON TPU (the axon default):  python scripts/bench_kernels.py
+CPU sanity mode:                python scripts/bench_kernels.py --cpu --small
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="tiny shapes for a smoke run")
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "bench_kernels_out.json"))
+    return p.parse_args()
+
+
+ARGS = parse_args()
+if ARGS.cpu:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if ARGS.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from loam_livox_tpu.ops.bucket_grid import BucketGrid, build_bucket_grid, grid_knn
+from loam_livox_tpu.ops.knn import knn
+from loam_livox_tpu.ops.pallas_knn import knn_pallas
+
+# Peak specs per device kind (dense f32-accurate matmul path + HBM BW).
+# Sources: public TPU spec tables (jax-ml.github.io/scaling-book).
+PEAKS = {
+    # kind-substring: (matmul TFLOP/s at f32-accuracy, HBM GB/s)
+    "v4": (137.0 / 2, 1228.0),      # bf16 275 ⇒ ~137 f32-ish via passes
+    "v5 lite": (197.0 / 2, 819.0),  # device_kind "TPU v5 lite" = v5e
+    "v5e": (197.0 / 2, 819.0),
+    "v5p": (459.0 / 2, 2765.0),
+    "v6e": (918.0 / 2, 1640.0),
+}
+
+
+def timeit(fn, *args, iters=ARGS.iters):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev))
+    print(f"device: {kind}", file=sys.stderr)
+    peak_tflops, peak_gbs = 0.0, 0.0
+    for sub, (tf, gb) in PEAKS.items():
+        if sub in str(kind).lower():
+            peak_tflops, peak_gbs = tf, gb
+
+    if ARGS.small:
+        shapes = [(512, 4096)]
+    else:
+        # the odometry working set (ds queries × matching buffer) plus
+        # the crossover sweep the config comments claim
+        shapes = [(1024, 16384), (2048, 65536), (4096, 131072),
+                  (4096, 524288)]
+    k = 5
+    rng = np.random.default_rng(0)
+    results = []
+
+    for nq, m in shapes:
+        q = jnp.asarray(rng.uniform(-30, 30, (nq, 3)), jnp.float32)
+        ref = jnp.asarray(rng.uniform(-30, 30, (m, 3)), jnp.float32)
+        mask = jnp.ones((m,), bool)
+
+        row = {"Q": nq, "M": m, "k": k}
+        flops = 2.0 * nq * m * 3          # the distance matmul
+        min_bytes = (nq * 12 + m * 12 + nq * k * 8)  # in + out, f32/i32
+
+        t = timeit(lambda q=q: knn(q, ref, mask, k=k))
+        row["dense_ms"] = t * 1e3
+        row["dense_tflops"] = flops / t / 1e12
+        t2 = timeit(lambda q=q: knn(q, ref, mask, k=k, exact=True))
+        row["dense_exact_ms"] = t2 * 1e3
+        try:
+            t3 = timeit(lambda q=q: knn_pallas(q, ref, mask, k=k))
+            row["pallas_ms"] = t3 * 1e3
+        except Exception as e:  # pallas may be unsupported on this backend
+            row["pallas_ms"] = None
+            row["pallas_err"] = str(e)[:120]
+        try:
+            # bucket directory sized like the production config: ~1
+            # point/bucket-capacity-16 at full occupancy
+            n_buckets = max(4096, 1 << (m.bit_length() - 3))
+            grid = build_bucket_grid(ref, mask, 1.5, n_buckets, 16)
+            jax.block_until_ready(grid)
+            t4 = timeit(lambda q=q: grid_knn(q, grid, k=k))
+            row["grid_ms"] = t4 * 1e3
+            t4b = timeit(lambda: build_bucket_grid(ref, mask, 1.5,
+                                                   n_buckets, 16))
+            row["grid_build_ms"] = t4b * 1e3
+        except Exception as e:
+            row["grid_ms"] = None
+            row["grid_err"] = str(e)[:120]
+        row["min_hbm_mb"] = min_bytes / 1e6
+        if peak_tflops:
+            row["pct_of_mxu_peak"] = 100.0 * row["dense_tflops"] / peak_tflops
+            # Two roofline bounds for the (Q,3)x(3,M) distance product:
+            # * fused: a perfect kernel that never spills the (Q, M)
+            #   score matrix.  The MXU runs at K-efficiency 3/128 on a
+            #   K=3 contraction (systolic depth is filled regardless),
+            #   so the flop bound uses an effective K of 128.
+            # * materialized: + one HBM write + read of the f32 score
+            #   matrix (what the XLA matmul + approx_min_k pipeline
+            #   pays when the tiles don't fuse).
+            t_mxu = (2.0 * nq * m * 128) / (peak_tflops * 1e12)
+            t_io = min_bytes / (peak_gbs * 1e9)
+            t_scores = 2.0 * nq * m * 4 / (peak_gbs * 1e9)
+            row["sol_fused_ms"] = max(t_mxu, t_io) * 1e3
+            row["sol_materialized_ms"] = (max(t_mxu, t_io) + t_scores) * 1e3
+            row["x_from_sol"] = row["dense_ms"] / row["sol_materialized_ms"]
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    # ---- residual + J^T J build at the odometry working set ---------------
+    from loam_livox_tpu.registration import residuals as R
+
+    nres = 512 if ARGS.small else 4096
+    pts = jnp.asarray(rng.uniform(-30, 30, (nres, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(nres, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    tgt = R.LineTargets(a=pts + 0.05, unit_ab=dirs,
+                        valid=jnp.ones((nres,), bool))
+    w = jnp.ones((nres,), jnp.float32)
+    s = jnp.linspace(0, 1, nres)
+    q0 = jnp.array([1.0, 0, 0, 0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def jtj_line(q, t):
+        r = R.line_residuals(q, t, pts, s, tgt, q0, t0, False)
+        pw_jac = R.point_world_jacobian(q, t, pts, q0)
+        J = R.line_jacobian(pw_jac, tgt)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nri,nrj->ij", Jw, J)
+        g = jnp.einsum("nri,nr->i", Jw, r)
+        return H, g
+
+    have_sig = True
+    try:
+        tj = timeit(jtj_line, q0, t0)
+    except Exception as e:
+        have_sig = False
+        print(f"residual bench skipped: {e}", file=sys.stderr)
+    jtj_row = {}
+    if have_sig:
+        jtj_bytes = nres * (3 * 4 * 3 + 4 + 4) + 36 * 4 + 6 * 4
+        jtj_row = {"n_residuals": nres, "jtj_ms": tj * 1e3,
+                   "min_hbm_mb": jtj_bytes / 1e6}
+        results.append({"jtj": jtj_row})
+        print(json.dumps(jtj_row), file=sys.stderr)
+
+    out = {"device": str(kind), "iters": ARGS.iters, "rows": results}
+    with open(ARGS.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+    # markdown table for RESULTS.md
+    print("\n| Q | M | dense ms | exact ms | pallas ms | grid ms "
+          "| SoL fused ms | SoL mat. ms | ×SoL |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in results:
+        if "Q" not in r:
+            continue
+        fmt = lambda v: f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+        print(f"| {r['Q']} | {r['M']} | {fmt(r['dense_ms'])} "
+              f"| {fmt(r['dense_exact_ms'])} | {fmt(r.get('pallas_ms'))} "
+              f"| {fmt(r.get('grid_ms'))} | {fmt(r.get('sol_fused_ms'))} "
+              f"| {fmt(r.get('sol_materialized_ms'))} "
+              f"| {fmt(r.get('x_from_sol'))} |")
+
+
+if __name__ == "__main__":
+    main()
