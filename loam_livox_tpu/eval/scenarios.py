@@ -46,12 +46,21 @@ def scenario_config(name: str, small: bool = False):
         kw["points"] = 3072
         kw["frames"] = min(kw["frames"], 24)
         if name == "loop_closure":
-            # keyframes must complete within the shortened run
+            # keyframes must complete within the shortened run; the
+            # CPU-scale point budget can't populate enough plane cells
+            # for the shipped 0.05 admission ratio, so the SMALL
+            # variant loosens the ratios to exercise the machinery —
+            # the full-scale scenario (small=False, run on the chip)
+            # validates the reference gates UNCHANGED
             cfg = cfg.replace(loop_closure={
                 "scans_of_each_keyframe": 12,
                 "scans_between_two_keyframe": 6,
-                "minimum_keyframe_differen": 2})
-            kw["frames"] = 40
+                "minimum_keyframe_differen": 2,
+                "avail_ratio_plane": 0.005,
+                "avail_ratio_line": 0.0})
+            kw = dict(kw, frames=40, noise=0.005)
+            kw.pop("scene", None)       # CPU budget: default room scene
+            kw.pop("scene_kind", None)
     return cfg, kw
 
 
@@ -83,25 +92,39 @@ def _scenario_config_full(name: str):
                                "n_pillars": 14, "n_ridges": 24},
                      "traj_scale": 4.0}
     if name == "loop_closure":
-        # 4: loop closure enabled (scene alignment + pose graph); the
-        # trajectory oscillates through its start so real revisits
-        # occur within the run
+        # 4: loop closure enabled (scene alignment + pose graph) with
+        # the reference's SHIPPED admission/similarity gates UNCHANGED
+        # (avail_ratio 0.05/0.03, similarity 0.94/0.65 —
+        # laser_mapping.hpp:994-1001): the orientation-rich world
+        # supplies the ≥180 distinct plane-normal bins per keyframe a
+        # real campus scene has, and 2 cm range noise matches Livox
+        # spec; the trajectory oscillates through its start so real
+        # revisits occur within the run
         cfg = SlamConfig().replace(
             # deblur's s-weighted fit amplifies static pose error 1.5×
             # per frame — marginal on this oscillating trajectory; the
             # plain path is the stable odometry for the loop run
-            common={"if_motion_deblur": 0, "piecewise_number": 1},
+            # threshold_cell_revisit scales with sequence length: the
+            # reference ships 2000 frames (~3.3 min) for hour-long
+            # captures; this 17 s run revisits after ~100 frames, so the
+            # same "reset a cell not seen for a while" behavior needs a
+            # proportional threshold (a temporal parameter, not an
+            # accuracy gate — the loop gates below are the shipped ones)
+            common={"if_motion_deblur": 0, "piecewise_number": 1,
+                    "threshold_cell_revisit": 50},
             mapping={"init_accumulate_frames": 10},
             loop_closure={"if_enable_loop_closure": 1,
-                          "scans_of_each_keyframe": 30,
-                          "scans_between_two_keyframe": 10,
-                          "minimum_keyframe_differen": 5,
-                          "avail_ratio_plane": 0.005,
-                          "avail_ratio_line": 0.0},
+                          "scans_of_each_keyframe": 45,
+                          "scans_between_two_keyframe": 15,
+                          "minimum_keyframe_differen": 5},
         )
         # commensurate periods: all axes and yaw return to the start
         # pose at τ = 10 s (≈ frame 115 after the ramp)
-        return cfg, {"frames": 150, "points": 10000,
+        return cfg, {"frames": 170, "points": 10000, "noise": 0.02,
+                     "scene_kind": "rich",
+                     "scene": {"half_extent": 28.0, "half_extent_z": 5.0,
+                               "n_rot_boxes": 28, "n_rocks": 48,
+                               "n_ridges": 14},
                      "traj": {"lin_hz": np.array([0.05, 0.05, 0.05]),
                               "yaw_hz": 0.05, "pitch_hz": 0.05}}
     if name == "mid100_multihost":
@@ -139,14 +162,17 @@ def run_scenario(name: str, frames: int | None = None,
     sims = []
     for s in range(sensors):
         rng = np.random.default_rng(s)
-        scene = (ConvexScene.random_room(rng, **kw["scene"])
-                 if "scene" in kw else None)
+        builder = (ConvexScene.random_rich_world
+                   if kw.get("scene_kind") == "rich"
+                   else ConvexScene.random_room)
+        scene = builder(rng, **kw["scene"]) if "scene" in kw else None
         traj = Trajectory(ramp_t0=ramp)
         traj.lin_amp = traj.lin_amp * tscale
         for attr, val in kw.get("traj", {}).items():
             setattr(traj, attr, val)
         sims.append(LivoxSimulator(
-            SimConfig(points_per_frame=pts, seed=s),
+            SimConfig(points_per_frame=pts, seed=s,
+                      noise_std=kw.get("noise", 0.005)),
             scene=scene, traj=traj))
     pipe = OdometryPipeline(cfg)
     t0 = time.perf_counter()

@@ -64,6 +64,18 @@ class KeyframeRecord:
     t: np.ndarray                 # (3,)
     ending_frame_idx: int
     descriptor: Optional[KeyframeDescriptor] = None
+    # Era snapshots of the member cells' point pools, captured at
+    # completion (compressed, world frame).  The reference keeps a
+    # historical cell ALIVE when the live map resets it on revisit
+    # (`m_previous_visited_cell` chain, cell_map_keyframe.hpp:734-755),
+    # so a historical keyframe's cloud stays internally consistent; the
+    # fixed-slot TPU directory resets in place, so the keyframe record
+    # snapshots its era's points instead — same observable behavior
+    # (scene alignment sees each keyframe's own-era cloud), no pointer
+    # chains on device.
+    snap_line: Optional[np.ndarray] = None   # (Nl, 3) float32
+    snap_plane: Optional[np.ndarray] = None  # (Np, 3)
+    snap_full: Optional[np.ndarray] = None   # (Nf, 3)
 
 
 @dataclass
@@ -90,6 +102,7 @@ class LoopCloser:
         self.updating: List[_Accumulator] = [_Accumulator()]
         self.closed = False
         self.result: Optional[LoopClosureResult] = None
+        self.gate_trace: List[dict] = []
         # artifact directory for loop.g2o / poses_ori.txt / poses_opm.txt
         # (reference laser_mapping.hpp:1080-1087)
         self.dump_dir = dump_dir
@@ -129,6 +142,18 @@ class LoopCloser:
     def process_keyframe(self, rec: KeyframeRecord, m: CellMap) -> None:
         member = self._member(m, rec)
         rec.descriptor = jax.device_get(describe_keyframe(m, member))
+
+        def compress(batch) -> np.ndarray:
+            xyz, mask = jax.device_get((batch.xyz, batch.mask))
+            return np.ascontiguousarray(xyz[mask], np.float32)
+
+        from ..map.cell_map import gather_cell_points
+
+        rec.snap_line = compress(
+            extract_cells_of_type(m, member, FEATURE_LINE))
+        rec.snap_plane = compress(
+            extract_cells_of_type(m, member, FEATURE_PLANE))
+        rec.snap_full = compress(gather_cell_points(m, member))
         self.keyframes.append(rec)
         if self.lc.if_dump_keyframe_data and self.dump_dir:
             # per-keyframe JSON in the reference's cell-map schema
@@ -151,6 +176,13 @@ class LoopCloser:
             return
         self._scan_for_loop(m)
 
+    def _trace(self, his: int, stage: str, **vals) -> None:
+        """Per-candidate gate record — the analogue of the reference's
+        screen printf of ratio/similarity/ICP values during the loop
+        scan (laser_mapping.hpp:1002-1057 `screen_out` lines)."""
+        self.gate_trace.append({"cur": len(self.keyframes) - 1,
+                                "his": his, "stage": stage, **vals})
+
     def _scan_for_loop(self, m: CellMap) -> None:
         last = self.keyframes[-1]
         d_last = last.descriptor
@@ -162,9 +194,14 @@ class LoopCloser:
             d_his = self.keyframes[his].descriptor
             if (d_his.ratio_nonzero_plane < self.lc.avail_ratio_plane
                     and d_his.ratio_nonzero_line < self.lc.avail_ratio_line):
+                self._trace(his, "ratio",
+                            rz_plane=float(d_his.ratio_nonzero_plane),
+                            rz_line=float(d_his.ratio_nonzero_line))
                 his += 1
                 continue
             if abs(float(d_his.roi_range) - float(d_last.roi_range)) > 5.0:
+                self._trace(his, "roi", roi_his=float(d_his.roi_range),
+                            roi_last=float(d_last.roi_range))
                 his += 1
                 continue
             sim_plane = float(max_similarity(
@@ -174,16 +211,22 @@ class LoopCloser:
             ok = ((sim_line > self.lc.minimum_similarity_linear
                    and sim_plane > 0.92)
                   or sim_plane > self.lc.minimum_similarity_planar)
+            self._trace(his, "similarity", sim_plane=sim_plane,
+                        sim_line=sim_line, passed=ok)
             if not ok:
                 his += 1
                 continue
             # cell-count balance — the reference's de-facto behavior
             # (see module docstring)
             if int(d_his.n_cells) > int(d_last.n_cells):
+                self._trace(his, "cell_balance",
+                            n_his=int(d_his.n_cells),
+                            n_last=int(d_last.n_cells))
                 his += 1
                 continue
             res = self._verify_icp(m, last, self.keyframes[his])
             score = float(res.inlier_threshold)
+            self._trace(his, "icp", score=score)
             if score > 2.0 * self.lc.map_alignment_inlier_threshold:
                 his += 11
                 continue
@@ -194,14 +237,27 @@ class LoopCloser:
 
     def _verify_icp(self, m: CellMap, last: KeyframeRecord,
                     his: KeyframeRecord):
-        member_a = self._member(m, last)
-        member_b = self._member(m, his)
-        src_line = extract_cells_of_type(m, member_a, FEATURE_LINE)
-        src_plane = extract_cells_of_type(m, member_a, FEATURE_PLANE)
-        tgt_line = extract_cells_of_type(m, member_b, FEATURE_LINE)
-        tgt_plane = extract_cells_of_type(m, member_b, FEATURE_PLANE)
+        # Era snapshots, not live-map gathers: the live directory may
+        # have revisit-reset a historical keyframe's cells with
+        # current-pass points, which would hand the aligner an
+        # internally-inconsistent mix of two eras (see KeyframeRecord).
+        cap = m.capacity * m.pool_size  # keep the live-gather jit shape
+
+        def batch(xyz: np.ndarray):
+            from ..core.types import PointBatch
+
+            n = min(len(xyz), cap)
+            buf = np.zeros((cap, 3), np.float32)
+            buf[:n] = xyz[:n]
+            mask = np.zeros((cap,), bool)
+            mask[:n] = True
+            return PointBatch(xyz=jnp.asarray(buf),
+                              time=jnp.zeros((cap,), jnp.float32),
+                              mask=jnp.asarray(mask))
+
         return align_keyframes(
-            src_line, src_plane, tgt_line, tgt_plane,
+            batch(last.snap_line), batch(last.snap_plane),
+            batch(his.snap_line), batch(his.snap_plane),
             jnp.asarray(last.descriptor.center),
             jnp.asarray(his.descriptor.center),
             self.cfg)
@@ -263,10 +319,15 @@ class LoopCloser:
     # ---- map refinement (reference Mapping_refine, ------------------
     # ceres_pose_graph_3d.hpp:437-500) ---------------------------------
     def _keyframe_cloud(self, m: CellMap, idx: int) -> np.ndarray:
-        """World-frame member cell points of keyframe `idx`."""
+        """World-frame member cell points of keyframe `idx` — the era
+        snapshot (points as mapped with that keyframe's own drifted
+        poses, which is what the pose correction math expects)."""
+        rec = self.keyframes[idx]
+        if rec.snap_full is not None:
+            return rec.snap_full
         from ..map.cell_map import gather_cell_points
 
-        pts = gather_cell_points(m, self._member(m, self.keyframes[idx]))
+        pts = gather_cell_points(m, self._member(m, rec))
         return np.asarray(pts.xyz)[np.asarray(pts.mask)]
 
     def refine_keyframe_cloud(self, m: CellMap, idx: int) -> np.ndarray:
