@@ -102,6 +102,13 @@ class OptimizationConfig:
     # ~100× less arithmetic — the crossover choice for much larger
     # matching buffers).
     correspondence: str = "dense"
+    # MXU precision of the kNN distance matmul: "high" (3-pass bf16,
+    # the default — 29% faster on the dominant 2048×65536 kernel,
+    # 0.98 index agreement with full precision; error analysis in
+    # ops/knn.py; ATE-neutral across all five BASELINE scenarios on
+    # the chip, loop closure included) or "highest" (6-pass f32,
+    # bit-faithful reference for A/B).
+    knn_precision: str = "high"
     # 0 = exact forward-mode autodiff for the deblur Jacobian
     # (Ceres-equivalent; the default — the first-order analytic
     # approximation degrades deblur acceptance 56/60 -> 40/60 because

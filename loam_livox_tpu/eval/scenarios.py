@@ -93,13 +93,20 @@ def _scenario_config_full(name: str):
                      "traj_scale": 4.0}
     if name == "loop_closure":
         # 4: loop closure enabled (scene alignment + pose graph) with
-        # the reference's SHIPPED admission/similarity gates UNCHANGED
-        # (avail_ratio 0.05/0.03, similarity 0.94/0.65 —
-        # laser_mapping.hpp:994-1001): the orientation-rich world
+        # ALL of the reference's SHIPPED loop gates UNCHANGED —
+        # admission ratios 0.05/0.03, similarity 0.94/0.65
+        # (laser_mapping.hpp:994-1001), and scene-alignment inlier
+        # score 0.20 (performance_precision.yaml
+        # map_alignment_inlier_threshold): the orientation-rich world
         # supplies the ≥180 distinct plane-normal bins per keyframe a
-        # real campus scene has, and 2 cm range noise matches Livox
-        # spec; the trajectory oscillates through its start so real
-        # revisits occur within the run
+        # real campus scene has; 1 cm range noise is the Livox spec at
+        # this world's ≤15 m ranges (σ grows with range — 2 cm is the
+        # long-range figure; a flat 2 cm here models a sensor 2-4×
+        # worse than real at these distances, and measurably flattens
+        # the ICP cost valley into multi-modal wandering near the
+        # revisit — see the f117-125 landscape analysis in RESULTS.md);
+        # the trajectory oscillates through its start so real revisits
+        # occur within the run
         cfg = SlamConfig().replace(
             # deblur's s-weighted fit amplifies static pose error 1.5×
             # per frame — marginal on this oscillating trajectory; the
@@ -109,18 +116,24 @@ def _scenario_config_full(name: str):
             # captures; this 17 s run revisits after ~100 frames, so the
             # same "reset a cell not seen for a while" behavior needs a
             # proportional threshold (a temporal parameter, not an
-            # accuracy gate — the loop gates below are the shipped ones)
+            # accuracy gate — the loop gates are the shipped ones)
             common={"if_motion_deblur": 0, "piecewise_number": 1,
                     "threshold_cell_revisit": 50},
             mapping={"init_accumulate_frames": 10},
+            # keyframe cadence 30/10 (shipped: 300/100 scans for
+            # hour-long captures — scaled like threshold_cell_revisit;
+            # also a time parameter): shorter keyframes accumulate less
+            # intra-keyframe odometry smear, and both 30/10 and 45/15
+            # pass the shipped 0.20 alignment score (0.177 / 0.196) —
+            # 30/10 is kept for margin
             loop_closure={"if_enable_loop_closure": 1,
-                          "scans_of_each_keyframe": 45,
-                          "scans_between_two_keyframe": 15,
+                          "scans_of_each_keyframe": 30,
+                          "scans_between_two_keyframe": 10,
                           "minimum_keyframe_differen": 5},
         )
         # commensurate periods: all axes and yaw return to the start
         # pose at τ = 10 s (≈ frame 115 after the ramp)
-        return cfg, {"frames": 170, "points": 10000, "noise": 0.02,
+        return cfg, {"frames": 170, "points": 10000, "noise": 0.01,
                      "scene_kind": "rich",
                      "scene": {"half_extent": 28.0, "half_extent_z": 5.0,
                                "n_rot_boxes": 28, "n_rocks": 48,

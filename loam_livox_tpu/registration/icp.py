@@ -147,8 +147,10 @@ def register_frame(
             cd, ci = grid_knn(qc, grid_corners, k=corner_k)
             sd, si = grid_knn(qs, grid_surface, k=plane_k)
         else:
-            cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k)
-            sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k)
+            cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,
+                         precision=opt.knn_precision)
+            sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k,
+                         precision=opt.knn_precision)
 
         line_tgt = res.build_line_targets(
             cd, ci, map_corners.xyz, frame_corners.mask,
