@@ -37,27 +37,40 @@ def voxel_keys(xyz: jax.Array, leaf: float | jax.Array):
     return hi, lo
 
 
-def voxel_downsample(batch: PointBatch, leaf: float, capacity: int | None = None) -> PointBatch:
+def voxel_downsample(batch: PointBatch, leaf: float,
+                     capacity: int | None = None,
+                     with_time: bool = True) -> PointBatch:
     """Centroid voxel filter.  Output capacity defaults to the input's.
 
     If more voxels are occupied than `capacity`, the lexicographically
     smallest keys win (deterministic).
+
+    ``with_time=False`` skips the time channel in the sort payload and
+    returns zeros for it — the matching-buffer rebuild path, whose
+    inputs carry no timestamps (history flatten / cell-pool gather both
+    zero it), and where the sort is the dominant cost of the whole
+    frame program.
     """
     import jax.lax as lax
 
     n = batch.capacity
     capacity = capacity or n
     hi, lo = voxel_keys(batch.xyz, leaf)
-    # invalid points sort to the very back
-    hi = jnp.where(batch.mask, hi, jnp.int32(1 << 30))
+    # invalid points sort to the very back; validity is re-derived from
+    # this sentinel after the sort (2^15-per-axis keys never reach it),
+    # so the mask needs no payload slot of its own.
+    _INVALID = jnp.int32(1 << 30)
+    hi = jnp.where(batch.mask, hi, _INVALID)
 
     # One fused lexicographic sort carrying the payload (instead of two
     # argsorts + gathers — XLA's sort is the dominant cost here).
-    hi_s, lo_s, x_s, y_s, z_s, time_s, valid_s = lax.sort(
-        (hi, lo, batch.xyz[:, 0], batch.xyz[:, 1], batch.xyz[:, 2],
-         batch.time, batch.mask),
-        num_keys=2,
-    )
+    ops = [hi, lo, batch.xyz[:, 0], batch.xyz[:, 1], batch.xyz[:, 2]]
+    if with_time:
+        ops.append(batch.time)
+    sorted_ops = lax.sort(tuple(ops), num_keys=2)
+    hi_s, lo_s, x_s, y_s, z_s = sorted_ops[:5]
+    time_s = sorted_ops[5] if with_time else jnp.zeros_like(x_s)
+    valid_s = hi_s != _INVALID
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=-1)
 
     new_seg = jnp.concatenate(

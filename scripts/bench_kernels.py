@@ -99,9 +99,11 @@ def main():
         flops = 2.0 * nq * m * 3          # the distance matmul
         min_bytes = (nq * 12 + m * 12 + nq * k * 8)  # in + out, f32/i32
 
-        t = timeit(lambda q=q: knn(q, ref, mask, k=k))
+        t = timeit(lambda q=q: knn(q, ref, mask, k=k, precision="highest"))
         row["dense_ms"] = t * 1e3
         row["dense_tflops"] = flops / t / 1e12
+        th = timeit(lambda q=q: knn(q, ref, mask, k=k, precision="high"))
+        row["dense_high_ms"] = th * 1e3   # the production default
         t2 = timeit(lambda q=q: knn(q, ref, mask, k=k, exact=True))
         row["dense_exact_ms"] = t2 * 1e3
         try:
@@ -187,14 +189,15 @@ def main():
         json.dump(out, f, indent=1)
 
     # markdown table for RESULTS.md
-    print("\n| Q | M | dense ms | exact ms | pallas ms | grid ms "
-          "| SoL fused ms | SoL mat. ms | ×SoL |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("\n| Q | M | dense ms | dense HIGH ms | exact ms | pallas ms "
+          "| grid ms | SoL fused ms | SoL mat. ms | ×SoL |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in results:
         if "Q" not in r:
             continue
         fmt = lambda v: f"{v:.2f}" if isinstance(v, (int, float)) else "—"
         print(f"| {r['Q']} | {r['M']} | {fmt(r['dense_ms'])} "
+              f"| {fmt(r.get('dense_high_ms'))} "
               f"| {fmt(r['dense_exact_ms'])} | {fmt(r.get('pallas_ms'))} "
               f"| {fmt(r.get('grid_ms'))} | {fmt(r.get('sol_fused_ms'))} "
               f"| {fmt(r.get('sol_materialized_ms'))} "

@@ -156,3 +156,43 @@ class TestMasked:
         small = jnp.ones(100, bool)
         np.testing.assert_array_equal(
             np.asarray(masked.random_keep_mask(key, small, 2000)), np.ones(100, bool))
+
+
+class TestVoxelNoTime:
+    def test_with_time_false_matches(self):
+        """The rebuild fast path (no time payload) is bit-identical to
+        the full path on xyz/mask and returns zeroed time."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-5, 5, (512, 3)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=512) > 0.3)
+        b = PointBatch(xyz=pts, time=jnp.zeros(512, jnp.float32), mask=mask)
+        a = voxel_downsample(b, leaf=0.7, capacity=256)
+        c = voxel_downsample(b, leaf=0.7, capacity=256, with_time=False)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(c.mask))
+        np.testing.assert_array_equal(np.asarray(a.xyz), np.asarray(c.xyz))
+        assert float(jnp.abs(c.time).max()) == 0.0
+
+
+class TestDenseModeGridGate:
+    def test_rebuild_keeps_grids_in_dense_mode(self):
+        """With the dense correspondence engine the matching-buffer
+        rebuild must not rebuild the (unused) bucket grids — they are
+        returned unchanged from the state."""
+        import jax
+
+        from loam_livox_tpu.core.config import SlamConfig
+        from loam_livox_tpu.runtime.odometry import (
+            _rebuild_matching_buffer, init_state)
+
+        cfg = SlamConfig().replace(
+            capacity={"max_raw_points": 2048, "map_surf_capacity": 4096,
+                      "map_corner_capacity": 1024,
+                      "hist_corner_capacity": 128,
+                      "hist_surf_capacity": 512, "history_window": 4},
+        )
+        assert cfg.optimization.correspondence == "dense"
+        st = init_state(cfg)
+        c, s, gc, gs = _rebuild_matching_buffer(st, cfg)
+        assert gc is st.grid_corners and gs is st.grid_surface
