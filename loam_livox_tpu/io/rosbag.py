@@ -151,7 +151,17 @@ class BagReader:
         n = len(buf)
         want = set(topics) if topics else None
         while pos < n:
-            header, data, pos = _read_record(buf, pos)
+            try:
+                header, data, pos = _read_record(buf, pos)
+            except (struct.error, ValueError):
+                # Truncated / damaged tail: replay stops at the damage
+                # point (matching the class docstring contract) instead
+                # of surfacing a parser internal.
+                import warnings
+
+                warnings.warn(
+                    f"bag damaged/truncated at byte {pos}; stopping replay")
+                return
             op = header.get(b"op", b"\x00")[0]
             if op == OP_CHUNK:
                 compression = header.get(b"compression", b"none").decode()
@@ -183,7 +193,14 @@ class BagReader:
         pos = 0
         n = len(data)
         while pos < n:
-            header, rec, pos = _read_record(data, pos)
+            try:
+                header, rec, pos = _read_record(data, pos)
+            except (struct.error, ValueError):
+                import warnings
+
+                warnings.warn(
+                    f"bag chunk damaged at byte {pos}; skipping its tail")
+                return
             op = header.get(b"op", b"\x00")[0]
             if op == OP_CONNECTION:
                 self._add_connection(header, rec)
@@ -205,7 +222,10 @@ class BagReader:
         )
 
     def _decode_msg_record(self, header, data, want) -> Optional[BagMessage]:
-        conn_id = _U32.unpack(header[b"conn"])[0]
+        try:
+            conn_id = _U32.unpack(header[b"conn"])[0]
+        except (KeyError, struct.error):
+            return None            # damaged record header: skip
         conn = self.connections.get(conn_id)
         if conn is None:
             return None

@@ -150,3 +150,53 @@ def test_lvx_roundtrip(tmp_path):
     for xyz, (gx, gr, gt) in zip(frames, got):
         # mm quantization on disk
         np.testing.assert_allclose(gx[: len(xyz)], xyz, atol=6e-4)
+
+
+def test_truncated_bag_replays_to_damage_point(tmp_path):
+    """The reader's contract: a damaged/truncated tail stops replay
+    gracefully after the messages before the damage (no parser
+    internals surface)."""
+    import warnings
+
+    from loam_livox_tpu.io.rosbag import (
+        BagReader, BagWriter, encode_pointcloud2)
+
+    p = tmp_path / "t.bag"
+    with BagWriter(str(p)) as w:
+        for i in range(5):
+            pts = np.random.default_rng(i).uniform(-1, 1, (50, 3)
+                                                   ).astype(np.float32)
+            raw = encode_pointcloud2(float(i), pts,
+                                     np.zeros(50, np.float32))
+            w.write("/pc", "sensor_msgs/PointCloud2", float(i), raw)
+    whole = p.read_bytes()
+    n_msgs = len(list(BagReader(str(p)).messages()))
+    assert n_msgs == 5
+
+    cut = tmp_path / "cut.bag"
+    cut.write_bytes(whole[: int(len(whole) * 0.55)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = list(BagReader(str(cut)).messages())
+    assert 0 < len(got) < 5       # some messages, graceful stop
+
+
+def test_garbage_after_magic_stops_gracefully(tmp_path):
+    import warnings
+
+    from loam_livox_tpu.io.rosbag import MAGIC, BagReader
+
+    p = tmp_path / "g.bag"
+    p.write_bytes(MAGIC + b"\xff" * 64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert list(BagReader(str(p)).messages()) == []
+
+
+def test_bad_magic_raises(tmp_path):
+    from loam_livox_tpu.io.rosbag import BagReader
+
+    p = tmp_path / "x.bag"
+    p.write_bytes(b"NOT A BAG")
+    with pytest.raises(ValueError):
+        BagReader(str(p))
