@@ -200,3 +200,25 @@ def test_bad_magic_raises(tmp_path):
     p.write_bytes(b"NOT A BAG")
     with pytest.raises(ValueError):
         BagReader(str(p))
+
+
+def test_lvx_truncated_yields_prefix(tmp_path):
+    """A truncated .lvx yields the packages before the damage point
+    without raising (bounds-checked package walk)."""
+    from loam_livox_tpu.io.lvx import LvxReader, LvxWriter
+
+    path = tmp_path / "t.lvx"
+    rng = np.random.default_rng(4)
+    with LvxWriter(str(path)) as w:
+        for i in range(4):
+            w.add_points(rng.uniform(1.0, 20.0, size=(960, 3)),
+                         rng.uniform(0, 200, size=960),
+                         timestamp_ns=int(i * 1e8))
+    whole = path.read_bytes()
+    full = len(list(LvxReader(str(path)).frames(frame_period_s=0.1)))
+    assert full == 4
+
+    cut = tmp_path / "cut.lvx"
+    cut.write_bytes(whole[: int(len(whole) * 0.6)])
+    got = list(LvxReader(str(cut)).frames(frame_period_s=0.1))
+    assert 0 < len(got) < 4
