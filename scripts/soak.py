@@ -1,0 +1,105 @@
+"""Long-run soak: stability, memory, and latency drift over many frames.
+
+Drives the full pipeline (CPU small-capacity by default; full-capacity
+on the chip with --full) for N frames and checks:
+
+* peak RSS growth over the run stays bounded (no per-frame leaks from
+  the pending-frame queue, logger, or loop service),
+* per-frame wall time in the last quartile is within 2x the second
+  quartile (no slow accumulation),
+* the trajectory stays finite and frames keep being accepted.
+
+Exit code 0 = all checks pass.  Run:
+    python scripts/soak.py --frames 400
+"""
+import argparse
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=400)
+    p.add_argument("--full", action="store_true",
+                   help="full capacities (TPU); default is CPU-scale")
+    p.add_argument("--loop", action="store_true",
+                   help="enable loop closure during the soak")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if not args.full:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from loam_livox_tpu.core.config import SlamConfig
+    from loam_livox_tpu.eval.scenarios import SMALL_CAPS
+    from loam_livox_tpu.io.simulator import LivoxSimulator, SimConfig
+    from loam_livox_tpu.runtime.pipeline import OdometryPipeline
+
+    cfg = SlamConfig().replace(mapping={"init_accumulate_frames": 6})
+    pts = 10000
+    if not args.full:
+        cfg = cfg.replace(
+            capacity=SMALL_CAPS,
+            optimization={"icp_maximum_iteration": 5, "full_iterations": 3},
+        )
+        pts = 3072
+    if args.loop:
+        cfg = cfg.replace(loop_closure={"if_enable_loop_closure": 1})
+
+    sim = LivoxSimulator(SimConfig(points_per_frame=pts))
+    pipe = OdometryPipeline(cfg)
+
+    wall = []
+    rss = []
+    for i in range(args.frames):
+        xyz, inten, bt = sim.frame(i)
+        t0 = time.perf_counter()
+        pipe.process_raw(xyz, inten, bt)
+        wall.append(time.perf_counter() - t0)
+        if i % 25 == 0:
+            rss.append(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+            print(f"f{i}: {wall[-1]*1e3:.0f} ms, peak rss "
+                  f"{rss[-1]/1e6:.2f} GB", flush=True)
+    pipe.flush()
+
+    est = pipe.trajectory.positions_array()
+    ok = True
+
+    # 1. memory: peak RSS in the second half grew < 15% over first-half peak
+    half = len(rss) // 2
+    growth = max(rss[half:]) / max(rss[: max(half, 1)]) - 1.0
+    print(f"rss growth second-half vs first-half peak: {growth*100:.1f}%")
+    if growth > 0.15:
+        print("FAIL: unbounded memory growth"); ok = False
+
+    # 2. latency drift: Q4 median vs Q2 median (skip compile warmup in Q1)
+    q = len(wall) // 4
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    drift = med(wall[3 * q:]) / med(wall[q: 2 * q])
+    print(f"latency drift Q4/Q2 median: {drift:.2f}x")
+    if drift > 2.0:
+        print("FAIL: per-frame latency drifting up"); ok = False
+
+    # 3. sanity: finite trajectory, frames accepted
+    if not np.isfinite(est).all():
+        print("FAIL: non-finite trajectory"); ok = False
+    acc = sum(pipe.trajectory.accepted) / max(len(pipe.trajectory.accepted), 1)
+    print(f"accepted: {acc*100:.0f}%")
+    if acc < 0.8:
+        print("FAIL: acceptance collapsed"); ok = False
+
+    print("SOAK", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
