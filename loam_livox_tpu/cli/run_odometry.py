@@ -49,6 +49,11 @@ def parse_args(argv=None):
                    help="write the plane cell map as reference-format JSON")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--set", action="append", default=[], metavar="NS/KEY=V",
+                   help="override one config field, e.g. "
+                        "loop_closure/minimum_keyframe_differen=20 "
+                        "(repeatable — the reference's per-launch "
+                        "<param> overrides, launch/rosbag_loop.launch:10-11)")
     return p.parse_args(argv)
 
 
@@ -65,6 +70,16 @@ def build_config(args):
         overrides.setdefault("common", {})["piecewise_number"] = args.piecewise
     if args.loop_closure:
         overrides.setdefault("loop_closure", {})["if_enable_loop_closure"] = 1
+    for item in args.set:
+        try:
+            path, val = item.split("=", 1)
+            ns, key = path.replace(".", "/").split("/", 1)
+        except ValueError:
+            raise SystemExit(f"--set expects NS/KEY=VALUE, got {item!r}")
+        cur = getattr(getattr(cfg, ns), key)   # raises on unknown field
+        typ = type(cur)
+        overrides.setdefault(ns, {})[key] = (
+            typ(float(val)) if typ in (int, float) else val)
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg
