@@ -48,8 +48,10 @@ def knn(
       ref_mask:  (M,) bool — invalid refs never match.
       k:         neighbours per query.
       exact:     exact ``top_k`` instead of ``approx_min_k`` (default
-                 recall 0.95 — an approximation in the same spirit as
-                 the reference's approximate FLANN KD-tree searches).
+                 recall 0.99 — an approximation in the same spirit as
+                 the reference's approximate FLANN KD-tree searches;
+                 0.95, XLA's own default, flips ~5% of correspondences
+                 per call and was measured to degrade ATE).
       precision: MXU passes for the distance matmul: "highest" = 6-pass
                  f32 (bit-faithful), "high" = 3-pass (~2× faster on the
                  dominant matmul; cross-term error ~|q||r|·2⁻¹⁷ ≈
