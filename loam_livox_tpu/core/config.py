@@ -48,6 +48,11 @@ class FeatureExtractionConfig:
     corner_curvature: float = 0.1
     surface_curvature: float = 0.005
     minimum_view_angle: float = 5.0
+    # Mechanical-lidar close-point cutoff (Velodyne path only; the
+    # Livox path uses livox_min_dis).  Reference:
+    # `feature_extraction/minimum_range`, laser_feature_extractor.hpp:140
+    # (default 0.1), applied in removeClosedPointCloud (:211-240,400).
+    minimum_range: float = 0.1
     # Livox hardware constants (reference: source/livox_feature_extractor.hpp:143-145)
     max_fov_deg: float = 17.0
     time_internal_pts: float = 1.0e-5

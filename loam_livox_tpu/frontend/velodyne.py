@@ -103,7 +103,7 @@ def extract_velodyne_features(
     base_time: jax.Array,
     fe: FeatureExtractionConfig,
     caps: CapacityConfig,
-    minimum_range: float = 0.5,
+    minimum_range: float = 0.1,
     scan_period: float = 0.1,
 ) -> FeatureFrame:
     n = xyz.shape[0]

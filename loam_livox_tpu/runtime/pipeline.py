@@ -77,7 +77,8 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
         from ..frontend.velodyne import extract_velodyne_features
 
         frame = extract_velodyne_features(
-            pts, mask, jnp.asarray(t0, jnp.float32), fe, caps)
+            pts, mask, jnp.asarray(t0, jnp.float32), fe, caps,
+            minimum_range=fe.minimum_range)
         frame = frame._replace(
             corners=voxel_downsample(frame.corners,
                                      fe.mapping_line_resolution,

@@ -79,7 +79,7 @@ class TestVelodyne:
 
     def test_close_points_removed(self):
         pts = np.zeros((64, 3), np.float32)
-        pts[:, 0] = 0.1  # all inside minimum_range
+        pts[:, 0] = 0.05  # all inside minimum_range (reference def. 0.1)
         out = extract_velodyne_features(
             jnp.asarray(pts), jnp.ones(64, bool), jnp.float32(0.0), FE, CAPS)
         assert int(out.full.count()) == 0
