@@ -29,3 +29,33 @@ def test_set_rejects_unknown_and_malformed():
         build_config(parse_args(["--set", "nope/foo=1"]))
     with pytest.raises(SystemExit):
         build_config(parse_args(["--set", "garbage"]))
+
+
+def test_pcd_source_stream(tmp_path):
+    """`--source pcd:<dir>` streams decoded frames in filename order
+    through the native prefetch queue."""
+    import numpy as np
+
+    from loam_livox_tpu.io.serialization import save_pcd
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(3):
+        xyz = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+        frames.append(xyz)
+        save_pcd(str(tmp_path / f"frame_{i:04d}.pcd"), xyz)
+
+    args = parse_args(["--source", f"pcd:{tmp_path}", "--frames", "3"])
+    from loam_livox_tpu.cli.run_odometry import build_config, frame_stream
+    got = list(frame_stream(args, build_config(args)))
+    assert len(got) == 3
+    for (gx, gi, gt), xyz in zip(got, frames):
+        np.testing.assert_allclose(gx, xyz, atol=1e-5)
+        assert gi.shape == (100,)
+
+
+def test_pcd_source_empty_dir_errors(tmp_path):
+    args = parse_args(["--source", f"pcd:{tmp_path}"])
+    from loam_livox_tpu.cli.run_odometry import build_config, frame_stream
+    with pytest.raises(SystemExit):
+        list(frame_stream(args, build_config(args)))
