@@ -140,3 +140,24 @@ def refine_mapping(path: str, out_pcd: Optional[str] = None,
     if out_pcd:
         save_pcd(out_pcd, refined)
     return refined
+
+
+if __name__ == "__main__":
+    # Offline corrected-map rebuild from a loop-closure dump directory —
+    # the reference's standalone refine_mapping entry point
+    # (ceres_pose_graph_3d.hpp:502-583, driven from the loop_save_dir).
+    #   python -m loam_livox_tpu.loop.map_refine <dump_dir> \
+    #       [--out refined.pcd] [--resolution 0.2] [--stride 1]
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Rebuild the loop-corrected global map from disk dumps")
+    p.add_argument("path", help="dump dir: keyframe_*.json + poses_{ori,opm}.txt")
+    p.add_argument("--out", default="refined_map.pcd")
+    p.add_argument("--resolution", type=float, default=0.0,
+                   help="voxel leaf for the merged map (0 = keep all points)")
+    p.add_argument("--stride", type=int, default=1)
+    a = p.parse_args()
+    pts = refine_mapping(a.path, out_pcd=a.out, stride=a.stride,
+                         resolution=a.resolution)
+    print(f"refined map: {len(pts)} points -> {a.out}")
