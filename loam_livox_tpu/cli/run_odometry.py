@@ -49,6 +49,12 @@ def parse_args(argv=None):
                    help="write the plane cell map as reference-format JSON")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--follow", action="store_true",
+                   help="stream one JSON line per registered frame to "
+                        "stdout ({frame, t, q, accepted}) as results "
+                        "become observable — the `/aft_mapped_to_init` "
+                        "odometry publication analogue "
+                        "(laser_mapping.hpp:1566-1601)")
     p.add_argument("--set", action="append", default=[], metavar="NS/KEY=V",
                    help="override one config field, e.g. "
                         "loop_closure/minimum_keyframe_differen=20 "
@@ -140,11 +146,30 @@ def main(argv=None):
     from ..runtime.pipeline import OdometryPipeline
 
     pipe = OdometryPipeline(cfg, log_dir=args.log_dir)
+
+    followed = 0
+
+    def emit_follow():
+        # stream newly-observable poses (with pipelining they appear up
+        # to `maximum_parallel_thread` frames after ingestion)
+        nonlocal followed
+        tr = pipe.trajectory
+        while followed < len(tr.positions):
+            print(json.dumps({
+                "frame": followed,
+                "t": [round(float(v), 6) for v in tr.positions[followed]],
+                "q": [round(float(v), 6) for v in tr.quaternions[followed]],
+                "accepted": bool(tr.accepted[followed]),
+            }), flush=True)
+            followed += 1
+
     t0 = time.perf_counter()
     n = 0
     for xyz, inten, stamp in frame_stream(args, cfg):
         pipe.process_raw(xyz, inten, stamp)
         n += 1
+        if args.follow:
+            emit_follow()
         if not args.quiet and n % 10 == 0 and pipe.trajectory.positions:
             import numpy as np
 
@@ -152,6 +177,8 @@ def main(argv=None):
                   f"{np.round(pipe.trajectory.positions[-1], 3).tolist()}",
                   file=sys.stderr)
     pipe.flush()
+    if args.follow:
+        emit_follow()
     wall = time.perf_counter() - t0
 
     if args.save_poses:

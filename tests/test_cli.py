@@ -59,3 +59,33 @@ def test_pcd_source_empty_dir_errors(tmp_path):
     from loam_livox_tpu.cli.run_odometry import build_config, frame_stream
     with pytest.raises(SystemExit):
         list(frame_stream(args, build_config(args)))
+
+
+def test_follow_streams_pose_lines(tmp_path, capsys):
+    """--follow emits one JSON line per observed frame before the
+    final summary line."""
+    import json
+
+    from loam_livox_tpu.cli.run_odometry import main
+
+    sets = []
+    for kv in ["capacity/max_raw_points=2048", "capacity/max_corner=128",
+               "capacity/max_surface=512", "capacity/max_corner_ds=128",
+               "capacity/max_surface_ds=512",
+               "capacity/map_corner_capacity=2048",
+               "capacity/map_surf_capacity=8192",
+               "capacity/hist_corner_capacity=128",
+               "capacity/hist_surf_capacity=512",
+               "capacity/history_window=4",
+               "mapping/init_accumulate_frames=2",
+               "optimization/icp_maximum_iteration=2",
+               "optimization/full_iterations=2"]:
+        sets += ["--set", kv]
+    rc = main(["--frames", "3", "--quiet", "--follow"] + sets)
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    pose_lines = [l for l in lines if "frame" in l]
+    summary = [l for l in lines if "frames" in l]
+    assert len(pose_lines) == 3
+    assert pose_lines[0]["frame"] == 0 and len(pose_lines[0]["t"]) == 3
+    assert summary and summary[-1]["frames"] == 3
