@@ -19,6 +19,29 @@ import numpy as np
 _NATIVE = None
 
 
+def _build_native(native_dir: str) -> bool:
+    """Best-effort in-place build of the extension on a fresh checkout.
+
+    Build artifacts are not committed; compiling the single .cpp takes a
+    few seconds, so do it once on first import instead of requiring a
+    manual ``python native/setup.py build_ext --inplace`` step.  Set
+    LOAM_NO_NATIVE_BUILD=1 to skip (the pure-Python fallback is used).
+    """
+    if os.environ.get("LOAM_NO_NATIVE_BUILD"):
+        return False
+    if not os.path.exists(os.path.join(native_dir, "setup.py")):
+        return False
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=native_dir, capture_output=True, timeout=300, check=True)
+        return True
+    except Exception:
+        return False
+
+
 def _load_native():
     global _NATIVE
     if _NATIVE is not None:
@@ -32,7 +55,15 @@ def _load_native():
 
         _NATIVE = _native_io
     except ImportError:
-        _NATIVE = False
+        if _build_native(native_dir):
+            try:
+                import _native_io  # type: ignore
+
+                _NATIVE = _native_io
+            except ImportError:
+                _NATIVE = False
+        else:
+            _NATIVE = False
     return _NATIVE
 
 
