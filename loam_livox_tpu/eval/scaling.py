@@ -51,24 +51,47 @@ def measure_scaling(
     w_all = jnp.asarray(rng.uniform(0, 1, n_query).astype(np.float32))
     ids = jnp.arange(n_query)
 
+    # Unsharded baseline: the same correspondence + normal-equation work
+    # as one plain jitted program.  On a single chip this bounds the
+    # shard_map/collective overhead (sharded@1 / plain).  Everything is
+    # passed as arguments (not closed over) so jit compiles once and the
+    # loop times executions, not re-traces.
+    from ..ops.knn import knn
+
+    @jax.jit
+    def plain_step(q, ref, mask, r, J, w):
+        d, i = knn(q, ref, mask, k=k)
+        Jf = J.reshape(-1, 6)
+        wf = jnp.repeat(w, 3)
+        H = (Jf * wf[:, None]).T @ Jf
+        g = Jf.T @ (wf * r.reshape(-1))
+        return d, H, g
+
+    plain_t = _bench(lambda: plain_step(q, ref, mask, r_all, J_all, w_all),
+                     reps)
+
     results = {}
     for s in mesh_sizes:
         mesh = make_mesh(s)
 
-        def step():
+        @jax.jit
+        def step(q, ref, mask, r, J, w, ids):
             d, i = knn_sharded(q, ref, mask, mesh, k=k)
             H, g, c = normal_system_psum(
-                lambda idx: (r_all[idx], J_all[idx], w_all[idx]), ids, mesh)
+                lambda idx: (r[idx], J[idx], w[idx]), ids, mesh)
             return d, H
 
-        results[s] = _bench(step, reps)
+        results[s] = _bench(
+            lambda: step(q, ref, mask, r_all, J_all, w_all, ids), reps)
 
     base = results[mesh_sizes[0]] * mesh_sizes[0]
     out = {
         "device_kind": devs[0].device_kind,
         "n_query": n_query,
         "n_ref": n_ref,
+        "plain_time_s": round(plain_t, 6),
         "times_s": {str(s): round(t, 6) for s, t in results.items()},
+        "sharded_overhead_x": round(results[mesh_sizes[0]] / plain_t, 4),
         "efficiency": {
             str(s): round(base / (results[s] * s) / mesh_sizes[0], 4)
             for s in mesh_sizes
