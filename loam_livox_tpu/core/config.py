@@ -30,10 +30,19 @@ class CommonConfig:
     # apply, and deblur forces piecewise to 1 (:306-309).
     if_motion_deblur: int = 1
     if_save_to_pcd_files: int = 0
+    # Cell mean/cov source: 1 = lifetime moment accumulators (the
+    # reference's incremental recursion, cell_map_keyframe.hpp:30,
+    # :394-415); 0 = recompute from the retained point pool (the
+    # reference recomputes from its stored point vector; the realtime
+    # profile ships 0).  Read by map.cell_map.cell_features.
     if_update_mean_and_cov_incrementally: int = 1
     threshold_cell_revisit: int = 2000
     # reference: launch/rosbag_mid100.launch:6 (common/piecewise_number)
     piecewise_number: int = 3
+    # Screen diagnostics gate with the REFERENCE'S INVERTED semantics
+    # (tools_logger.hpp:51-80 ADD_SCREEN_PRINTF_OUT_METHOD): 1 = silent
+    # (prints swallowed — the shipped default), 0 = echo per-frame /
+    # loop-gate diagnostics to stdout.
     if_verbose_screen_printf: int = 1
 
 
@@ -71,7 +80,9 @@ class OptimizationConfig:
     maximum_residual_blocks: int = 200
     max_allow_final_cost: float = 2.0
     icp_maximum_iteration: int = 15
-    ceres_maximum_iteration: int = 50
+    # (the reference's optimization/ceres_maximum_iteration=50 has no
+    # analogue here: it caps a solver this design replaced — the LM
+    # inner budget is `prerun_iterations` + `full_iterations` below)
     # Inner-solver schedule (reference: point_cloud_registration.hpp:91,97-98)
     prerun_iterations: int = 2
     inlier_dis: float = 0.02
@@ -182,6 +193,20 @@ class LoopClosureConfig:
 
 
 @dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-chip execution (TPU-specific; no reference analogue — the
+    reference's only process boundary is ROS pub/sub on one machine,
+    ``package.xml:22-39``; this is the new capability BASELINE.md
+    requires).  With ``mesh_devices > 1`` the pipeline constructs a 1-D
+    device mesh and runs the odometry step with the product sharding
+    layout (`parallel.layout`): map/matching-buffer point axes and the
+    cell directory shard over the mesh, J^T J / top-k reductions cross
+    it as collectives."""
+    # devices in the 1-D mesh; 1 = single-chip (no sharding)
+    mesh_devices: int = 1
+
+
+@dataclass(frozen=True)
 class CapacityConfig:
     """Static shapes for the XLA programs (TPU-specific; no reference
     analogue — the reference uses dynamically sized std::vector/PCL
@@ -204,7 +229,10 @@ class CapacityConfig:
     corner_bucket_cap: int = 32
     surf_bucket_count: int = 16384
     surf_bucket_cap: int = 16
-    knn_query_tile: int = 512          # kNN query chunking
+    # kNN query chunking: the scan step width of the dense MXU search
+    # (ops.knn) — each step materializes one (knn_query_tile, M)
+    # distance block, so this bounds peak HBM scratch.
+    knn_query_tile: int = 1024
     history_window: int = 64           # registered frames kept for matching
     # per-frame capacities of the history ring buffers (world-frame,
     # voxel-downsampled registered features — reference keeps full
@@ -231,6 +259,7 @@ class SlamConfig:
     mapping: MappingConfig = field(default_factory=MappingConfig)
     loop_closure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
 
     def replace(self, **sections) -> "SlamConfig":
         """Return a copy with whole sections or nested fields replaced.
@@ -255,6 +284,7 @@ _SECTION_TYPES = {
     "mapping": MappingConfig,
     "loop_closure": LoopClosureConfig,
     "capacity": CapacityConfig,
+    "parallel": ParallelConfig,
 }
 
 

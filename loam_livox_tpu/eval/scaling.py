@@ -60,12 +60,19 @@ def measure_scaling(
 
     @jax.jit
     def plain_step(q, ref, mask, r, J, w):
+        # Identical per-element work to the sharded path: HIGHEST-precision
+        # einsums for JᵀWJ / JᵀWr plus the cost scalar the psum variant
+        # also reduces — so sharded@1 / plain is a true overhead ratio.
         d, i = knn(q, ref, mask, k=k)
         Jf = J.reshape(-1, 6)
         wf = jnp.repeat(w, 3)
-        H = (Jf * wf[:, None]).T @ Jf
-        g = Jf.T @ (wf * r.reshape(-1))
-        return d, H, g
+        rf = r.reshape(-1)
+        H = jnp.einsum("ri,rj->ij", Jf * wf[:, None], Jf,
+                       precision=jax.lax.Precision.HIGHEST)
+        g = jnp.einsum("ri,r->i", Jf, wf * rf,
+                       precision=jax.lax.Precision.HIGHEST)
+        c = jnp.sum(wf * rf * rf)
+        return d, H, g, c
 
     plain_t = _bench(lambda: plain_step(q, ref, mask, r_all, J_all, w_all),
                      reps)
@@ -91,12 +98,19 @@ def measure_scaling(
         "n_ref": n_ref,
         "plain_time_s": round(plain_t, 6),
         "times_s": {str(s): round(t, 6) for s, t in results.items()},
-        "sharded_overhead_x": round(results[mesh_sizes[0]] / plain_t, 4),
         "efficiency": {
             str(s): round(base / (results[s] * s) / mesh_sizes[0], 4)
             for s in mesh_sizes
         },
     }
+    # `sharded_overhead_x` is specifically the 1-device shard_map
+    # overhead bound; at any other smallest mesh size the ratio would be
+    # a different (mislabeled) metric, so key it by the size instead.
+    ratio = round(results[mesh_sizes[0]] / plain_t, 4)
+    if mesh_sizes[0] == 1:
+        out["sharded_overhead_x"] = ratio
+    else:
+        out[f"sharded_overhead_x_at_{mesh_sizes[0]}"] = ratio
     return out
 
 

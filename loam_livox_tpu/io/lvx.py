@@ -121,9 +121,14 @@ class LvxReader:
                     # unknown layout: cannot find the next package — skip
                     # to the next frame boundary
                     if data_type not in warned:
-                        warnings.warn(
-                            f"lvx data_type {data_type} unsupported; "
-                            "skipping to next frame")
+                        if nbytes is None:
+                            warnings.warn(
+                                f"lvx data_type {data_type} unknown; "
+                                "skipping to next frame")
+                        else:
+                            warnings.warn(
+                                f"lvx package (data_type {data_type}) "
+                                "truncated; skipping to next frame")
                         warned.add(data_type)
                     break
                 layout = _POINT_LAYOUT[data_type][0]

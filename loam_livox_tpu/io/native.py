@@ -32,14 +32,39 @@ def _build_native(native_dir: str) -> bool:
     if not os.path.exists(os.path.join(native_dir, "setup.py")):
         return False
     import subprocess
+    import warnings
 
+    # Exclusive file lock: concurrent imports (multi-process tests, split
+    # pytest runs) must not race two builds in the shared native/ dir —
+    # a partially-linked .so would silently force the Python fallback.
+    lock_path = os.path.join(native_dir, ".build.lock")
     try:
-        subprocess.run(
-            [sys.executable, "setup.py", "build_ext", "--inplace"],
-            cwd=native_dir, capture_output=True, timeout=300, check=True)
-        return True
-    except Exception:
+        lock_f = open(lock_path, "w")
+    except OSError:
         return False
+    try:
+        import fcntl
+
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        print("loam_livox_tpu: building native IO extension (one-time)...",
+              file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=native_dir, capture_output=True, timeout=300)
+        if proc.returncode != 0:
+            tail = proc.stderr.decode(errors="replace").strip()[-400:]
+            warnings.warn(
+                "native IO extension build failed (pure-Python fallback "
+                f"in use — IO will be slower): {tail}")
+            return False
+        return True
+    except Exception as e:  # timeout, missing toolchain, ...
+        warnings.warn(
+            "native IO extension build failed (pure-Python fallback "
+            f"in use — IO will be slower): {e!r}")
+        return False
+    finally:
+        lock_f.close()
 
 
 def _load_native():

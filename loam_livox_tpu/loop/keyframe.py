@@ -130,12 +130,14 @@ def _alignment_rotation(vecs: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.stack([vec[:, 0], vec[:, 1], c2], axis=1)
 
 
-@partial(jax.jit, static_argnames=())
-def describe_keyframe(m: CellMap, member: jax.Array) -> KeyframeDescriptor:
+@partial(jax.jit, static_argnames=("incremental",))
+def describe_keyframe(m: CellMap, member: jax.Array,
+                      incremental: bool = True) -> KeyframeDescriptor:
     """Descriptor of the keyframe whose member cells are flagged by the
     (C,) boolean `member` over the cell-map directory (reference
-    `analyze` → `extract_feature_mapping_new`, :1429-1494)."""
-    feats = cell_features(m)
+    `analyze` → `extract_feature_mapping_new`, :1429-1494).
+    `incremental` = common/if_update_mean_and_cov_incrementally."""
+    feats = cell_features(m, incremental=incremental)
     member = member & m.valid()
     centers = m.centers()
 

@@ -278,7 +278,7 @@ def optimize_pose_graph_cg(g: PoseGraph, iterations: int = 25,
 # identity with a tiny (6K, 6K) capacitance solve.  Each GN step is
 # then an EXACT damped-Newton step: convergence in a handful of
 # iterations regardless of N, where truncated CG stalls in the chain's
-# soft bending modes (per-edge residual ~1e-4 ⇒ metre-level端 position
+# soft bending modes (per-edge residual ~1e-4 ⇒ metre-level position
 # error at 10³+ nodes).  The analogue of the reference's
 # SPARSE_NORMAL_CHOLESKY (`ceres_pose_graph_3d.hpp:340-344`), built
 # from scan + batched small matmuls instead of a sparse library.

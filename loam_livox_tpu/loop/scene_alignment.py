@@ -48,11 +48,12 @@ class AlignmentResult(NamedTuple):
     scales_run: int
 
 
-def extract_cells_of_type(m: CellMap, member: jax.Array, ftype: int
-                          ) -> PointBatch:
+def extract_cells_of_type(m: CellMap, member: jax.Array, ftype: int,
+                          incremental: bool = True) -> PointBatch:
     """Point pools of the member cells classified as `ftype`
-    (reference `extract_specify_points`, cell_map_keyframe.hpp:974-988)."""
-    feats = cell_features(m)
+    (reference `extract_specify_points`, cell_map_keyframe.hpp:974-988).
+    `incremental` = common/if_update_mean_and_cov_incrementally."""
+    feats = cell_features(m, incremental=incremental)
     sel = member & m.valid() & (feats.feature_type == ftype)
     return gather_cell_points(m, sel)
 

@@ -258,19 +258,39 @@ class CellFeatures(NamedTuple):
     feature_dir: jax.Array   # (C, 3) plane normal / line direction
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("incremental",))
 def cell_features(m: CellMap,
                   threshold_line: float = 1.0 / 3.0,
-                  threshold_plane: float = 1.0 / 3.0) -> CellFeatures:
+                  threshold_plane: float = 1.0 / 3.0,
+                  incremental: bool = True) -> CellFeatures:
     """Per-cell mean/cov/eig + line/plane/sphere classification
     (reference: ``get_covmat`` :281-315, ``get_cov_mat_avoid_singularity``
-    :251-279, ``determine_feature`` :436-473)."""
-    n = jnp.maximum(m.count, 1.0)
-    mean = m.sum_p / n[:, None]
-    denom = jnp.maximum(m.count - 1.0, 1.0)
-    cov = (m.sum_pp - m.count[:, None, None]
+    :251-279, ``determine_feature`` :436-473).
+
+    ``incremental`` mirrors ``common/if_update_mean_and_cov_incrementally``
+    (reference ``cell_map_keyframe.hpp:30``): True uses the lifetime
+    moment accumulators (the reference's incremental recursion, bit-equal
+    to a full recompute over every point ever appended); False recomputes
+    the moments from the retained point pool — the reference recomputes
+    from its stored point vector, of which the ring pool is the bounded
+    TPU analogue, so statistics then reflect only the most recent
+    ``pool_size`` points per cell (the realtime profile ships 0)."""
+    if incremental:
+        count, sum_p, sum_pp = m.count, m.sum_p, m.sum_pp
+    else:
+        P = m.pool_size
+        have = (jnp.arange(P)[None, :]
+                < jnp.minimum(m.count, float(P))[:, None])     # (C, P)
+        pool = jnp.where(have[:, :, None], m.pts, 0.0)
+        count = jnp.sum(have, axis=1).astype(jnp.float32)
+        sum_p = jnp.sum(pool, axis=1)
+        sum_pp = jnp.einsum("cpi,cpj->cij", pool, pool)
+    n = jnp.maximum(count, 1.0)
+    mean = sum_p / n[:, None]
+    denom = jnp.maximum(count - 1.0, 1.0)
+    cov = (sum_pp - count[:, None, None]
            * mean[:, :, None] * mean[:, None, :]) / denom[:, None, None]
-    few = m.count < 5
+    few = count < 5
     cov = jnp.where(few[:, None, None], jnp.eye(3)[None], cov)
     cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
 

@@ -7,3 +7,11 @@ and J^T J reductions cross it as collectives.
 """
 from .mesh import make_mesh  # noqa: F401
 from .sharded import knn_sharded, normal_system_psum  # noqa: F401
+from .layout import (  # noqa: F401
+    frame_pspecs,
+    replicate,
+    shard_frame,
+    shard_state,
+    shard_tree,
+    state_pspecs,
+)

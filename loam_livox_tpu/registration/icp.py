@@ -147,10 +147,11 @@ def register_frame(
             cd, ci = grid_knn(qc, grid_corners, k=corner_k)
             sd, si = grid_knn(qs, grid_surface, k=plane_k)
         else:
+            qt = cfg.capacity.knn_query_tile
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,
-                         precision=opt.knn_precision)
+                         precision=opt.knn_precision, query_tile=qt)
             sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k,
-                         precision=opt.knn_precision)
+                         precision=opt.knn_precision, query_tile=qt)
 
         line_tgt = res.build_line_targets(
             cd, ci, map_corners.xyz, frame_corners.mask,

@@ -100,12 +100,25 @@ class LoopCloser:
         self.lc = cfg.loop_closure
         self.keyframes: List[KeyframeRecord] = []
         self.updating: List[_Accumulator] = [_Accumulator()]
+        # Completed keyframes awaiting analysis, bounded by
+        # loop_closure/maximum_keyframe_in_waiting_list — beyond the
+        # bound the OLDEST waiting keyframe is dropped unprocessed
+        # (reference m_keyframe_need_precession_list pop_front,
+        # laser_mapping.hpp:1552-1555).
+        self.waiting: List[KeyframeRecord] = []
+        self.dropped_keyframes = 0
         self.closed = False
         self.result: Optional[LoopClosureResult] = None
         self.gate_trace: List[dict] = []
         # artifact directory for loop.g2o / poses_ori.txt / poses_opm.txt
         # (reference laser_mapping.hpp:1080-1087)
         self.dump_dir = dump_dir
+        # screen_out gate, reference-inverted semantics (0 = echo;
+        # tools_logger.hpp:51-80)
+        self._screen = cfg.common.if_verbose_screen_printf == 0
+        # cell statistics source (common/if_update_mean_and_cov_incrementally)
+        self._incremental = bool(cfg.common.if_update_mean_and_cov_incrementally)
+        self._pair_idx = 0  # alignment-dump pair counter
 
     # ---- per-frame accumulation -----------------------------------------
     def on_frame(self, cell_full: CellMap, touched: jax.Array,
@@ -127,7 +140,15 @@ class LoopCloser:
                 q=np.asarray(q_w), t=np.asarray(t_w),
                 ending_frame_idx=frame_idx,
             )
-            self.process_keyframe(completed, cell_full)
+            # reference order (laser_mapping.hpp:1541,1552-1555): enqueue,
+            # THEN drop the oldest if the waiting list exceeds the bound,
+            # then the service consumes from the front.
+            self.waiting.append(completed)
+            if len(self.waiting) > self.lc.maximum_keyframe_in_waiting_list:
+                self.waiting.pop(0)
+                self.dropped_keyframes += 1
+            while self.waiting:
+                self.process_keyframe(self.waiting.pop(0), cell_full)
         if self.updating[-1].frames >= self.lc.scans_between_two_keyframe:
             self.updating.append(_Accumulator())
         return completed
@@ -141,7 +162,8 @@ class LoopCloser:
 
     def process_keyframe(self, rec: KeyframeRecord, m: CellMap) -> None:
         member = self._member(m, rec)
-        rec.descriptor = jax.device_get(describe_keyframe(m, member))
+        rec.descriptor = jax.device_get(
+            describe_keyframe(m, member, incremental=self._incremental))
 
         def compress(batch) -> np.ndarray:
             xyz, mask = jax.device_get((batch.xyz, batch.mask))
@@ -150,9 +172,11 @@ class LoopCloser:
         from ..map.cell_map import gather_cell_points
 
         rec.snap_line = compress(
-            extract_cells_of_type(m, member, FEATURE_LINE))
+            extract_cells_of_type(m, member, FEATURE_LINE,
+                                  incremental=self._incremental))
         rec.snap_plane = compress(
-            extract_cells_of_type(m, member, FEATURE_PLANE))
+            extract_cells_of_type(m, member, FEATURE_PLANE,
+                                  incremental=self._incremental))
         rec.snap_full = compress(gather_cell_points(m, member))
         self.keyframes.append(rec)
         if self.lc.if_dump_keyframe_data and self.dump_dir:
@@ -179,9 +203,13 @@ class LoopCloser:
     def _trace(self, his: int, stage: str, **vals) -> None:
         """Per-candidate gate record — the analogue of the reference's
         screen printf of ratio/similarity/ICP values during the loop
-        scan (laser_mapping.hpp:1002-1057 `screen_out` lines)."""
-        self.gate_trace.append({"cur": len(self.keyframes) - 1,
-                                "his": his, "stage": stage, **vals})
+        scan (laser_mapping.hpp:1002-1057 `screen_out` lines; echoed to
+        stdout when common/if_verbose_screen_printf == 0)."""
+        entry = {"cur": len(self.keyframes) - 1,
+                 "his": his, "stage": stage, **vals}
+        self.gate_trace.append(entry)
+        if self._screen:
+            print(f"[loop] {entry}", flush=True)
 
     def _scan_for_loop(self, m: CellMap) -> None:
         last = self.keyframes[-1]
@@ -255,12 +283,45 @@ class LoopCloser:
                               time=jnp.zeros((cap,), jnp.float32),
                               mask=jnp.asarray(mask))
 
-        return align_keyframes(
+        res = align_keyframes(
             batch(last.snap_line), batch(last.snap_plane),
             batch(his.snap_line), batch(his.snap_plane),
             jnp.asarray(last.descriptor.center),
             jnp.asarray(his.descriptor.center),
             self.cfg)
+        if (self.lc.map_alignment_if_dump_matching_result
+                and self.dump_dir):
+            self._dump_matching_pair(last, his, res)
+        return res
+
+    def _dump_matching_pair(self, last: KeyframeRecord,
+                            his: KeyframeRecord, res) -> None:
+        """Per-alignment dump (loop_closure/map_alignment_if_dump_
+        matching_result — reference scene_alignment.hpp:356-379 saves
+        keyframe A, keyframe B, and B transformed by the solved pose as
+        ``{pair}_a/_b/_c``): here the two keyframe clouds and the
+        transformed historical cloud as PCDs plus the transform/score
+        as JSON."""
+        import json as _json
+        import os
+
+        from ..io.serialization import save_pcd
+
+        os.makedirs(self.dump_dir, exist_ok=True)
+        i = self._pair_idx
+        self._pair_idx += 1
+        a = np.concatenate([last.snap_line, last.snap_plane], axis=0)
+        b = np.concatenate([his.snap_line, his.snap_plane], axis=0)
+        q, t = np.asarray(res.q), np.asarray(res.t)
+        R = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+        c = b @ R.T + t
+        save_pcd(os.path.join(self.dump_dir, f"{i}_a.pcd"), a)
+        save_pcd(os.path.join(self.dump_dir, f"{i}_b.pcd"), b)
+        save_pcd(os.path.join(self.dump_dir, f"{i}_c.pcd"), c)
+        with open(os.path.join(self.dump_dir, f"{i}_pair.json"), "w") as f:
+            _json.dump({"q_wxyz": q.tolist(), "t": t.tolist(),
+                        "inlier_threshold": float(res.inlier_threshold)},
+                       f)
 
     def _accept_loop(self, his_idx: int, cur_idx: int, align) -> None:
         qs = jnp.asarray(np.stack([k.q for k in self.keyframes]), jnp.float32)

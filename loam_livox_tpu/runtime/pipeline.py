@@ -147,7 +147,10 @@ class OdometryPipeline:
         self.cfg = cfg
         self.state: OdometryState = init_state(cfg)
         self.trajectory = TrajectoryRecord()
-        self.logger = FileLogger(log_dir)
+        # screen echo of diagnostics when if_verbose_screen_printf == 0
+        # (inverted semantics, reference tools_logger.hpp:51-80)
+        self.logger = FileLogger(
+            log_dir, screen=(cfg.common.if_verbose_screen_printf == 0))
         self.timer = SpanTimer()
         self.loop_closer = None
         if cfg.loop_closure.if_enable_loop_closure:

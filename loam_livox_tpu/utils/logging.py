@@ -89,19 +89,26 @@ class SpanTimer:
 
 
 class FileLogger:
-    """Named log streams under one directory (lazy-opened)."""
+    """Named log streams under one directory (lazy-opened).
+
+    ``screen=True`` additionally echoes every line to stdout — the
+    analogue of the reference's screen_out path, enabled when
+    ``common/if_verbose_screen_printf == 0`` (the reference's semantics
+    are inverted: 1 swallows prints, 0 shows them —
+    tools_logger.hpp:51-80)."""
 
     STREAMS = ("mapping", "timer", "match_buff", "pcd_log", "loop_closure")
 
-    def __init__(self, log_dir: Optional[str] = None):
+    def __init__(self, log_dir: Optional[str] = None, screen: bool = False):
         self.log_dir = log_dir
+        self.screen = screen
         self._files: Dict[str, TextIO] = {}
         self._lock = threading.Lock()
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
 
     def enabled(self) -> bool:
-        return self.log_dir is not None
+        return self.log_dir is not None or self.screen
 
     def _stream(self, name: str) -> Optional[TextIO]:
         if not self.log_dir:
@@ -113,10 +120,13 @@ class FileLogger:
             return self._files[name]
 
     def write(self, stream: str, msg: str) -> None:
+        line = msg.rstrip("\n")
         f = self._stream(stream)
         if f is not None:
-            f.write(msg.rstrip("\n") + "\n")
+            f.write(line + "\n")
             f.flush()
+        if self.screen:
+            print(f"[{stream}] {line}", flush=True)
 
     def printf(self, stream: str, fmt: str, *args) -> None:
         self.write(stream, fmt % args if args else fmt)

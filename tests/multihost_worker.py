@@ -23,6 +23,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=4")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# Two of these workers import concurrently; never trigger the in-place
+# native build from here (the build lock makes it safe, but a worker
+# blocking on a compile would stretch the test's timeout).
+os.environ.setdefault("LOAM_NO_NATIVE_BUILD", "1")
 
 import jax  # noqa: E402
 
