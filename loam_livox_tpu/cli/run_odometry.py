@@ -47,6 +47,11 @@ def parse_args(argv=None):
                    help="write trajectory (reference OutputPoses format)")
     p.add_argument("--save-map", default=None,
                    help="write the plane cell map as reference-format JSON")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="run the odometry step sharded over an N-device "
+                        "mesh (parallel/mesh_devices; the multi-chip "
+                        "product mode — map/matching-buffer axes shard, "
+                        "reductions cross the mesh as collectives)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--follow", action="store_true",
@@ -76,6 +81,8 @@ def build_config(args):
         overrides.setdefault("common", {})["piecewise_number"] = args.piecewise
     if args.loop_closure:
         overrides.setdefault("loop_closure", {})["if_enable_loop_closure"] = 1
+    if args.mesh is not None:
+        overrides.setdefault("parallel", {})["mesh_devices"] = args.mesh
     for item in args.set:
         try:
             path, val = item.split("=", 1)
@@ -196,6 +203,7 @@ def main(argv=None):
 
     summary = {
         "frames": n,
+        "mesh_devices": int(cfg.parallel.mesh_devices),
         "wall_s": round(wall, 3),
         "fps": round(n / wall, 3) if wall > 0 else None,
         "accepted": int(sum(pipe.trajectory.accepted)),

@@ -112,12 +112,17 @@ class OptimizationConfig:
     # reference; if 0, keep all residuals (the TPU-native default — the
     # batched solver is not residual-count bound).
     subsample_residuals: int = 0
-    # Correspondence engine: "dense" = brute-force MXU kNN (exact, and
-    # measured faster on TPU up to ~10^5 map points — gathers lose to
-    # matmuls); "grid" = 27-bucket grid-hash search (ops.bucket_grid,
-    # ~100× less arithmetic — the crossover choice for much larger
-    # matching buffers).
-    correspondence: str = "dense"
+    # Correspondence engine:
+    # "auto" (default) = "pallas" on TPU, "dense" elsewhere;
+    # "pallas" = fused Pallas kernel (ops.pallas.knn_fused): distance +
+    #   binned-min reduction in one VMEM pass — ~45× the dense engine
+    #   at the odometry working set (0.03 ms vs 1.5 ms at 2048×65536,
+    #   recall 0.995 vs the dense approx engine's 0.99);
+    # "dense" = brute-force MXU kNN + approx_min_k (the XLA baseline,
+    #   and the CPU path — Mosaic kernels only compile on TPU);
+    # "grid" = 27-bucket grid-hash search (ops.bucket_grid, the
+    #   crossover choice beyond ~5·10^5 map points for non-TPU).
+    correspondence: str = "auto"
     # MXU precision of the kNN distance matmul: "high" (3-pass bf16,
     # the default — 29% faster on the dominant 2048×65536 kernel,
     # 0.98 index agreement with full precision; error analysis in
@@ -242,13 +247,23 @@ class CapacityConfig:
     # measurably degrades ATE)
     hist_corner_capacity: int = 512
     hist_surf_capacity: int = 2048
-    # matching-buffer rebuild cadence in frames: 0 = auto (derived from
-    # mapping/maximum_pointcloud_delay_time over the 0.1 s scan period:
-    # precision 0.1 s → every frame, realtime 1.0 s → every 10th),
-    # 1 = every frame, larger = that fixed staleness — the functional
+    # matching-buffer FULL-rebuild cadence in frames: 0 = auto, 1 =
+    # every frame, larger = that fixed cadence — the functional
     # encoding of the reference's async refresh thread
     # (laser_mapping.hpp:568-576, maximum_pointcloud_delay_time)
     matching_rebuild_interval: int = 0
+    # Between full rebuilds, APPEND each admitted frame's downsampled
+    # world features into the matching buffer's free tail (1 = on, the
+    # default; dense correspondence only — the bucket grids cannot be
+    # appended in place).  The buffer then always contains the newest
+    # geometry — the property the reference's ~1-frame-staleness async
+    # refresh provides — while the expensive full voxel-dedup sort runs
+    # only on the cadence; between rebuilds the new points are simply
+    # not deduplicated against the window yet.  With appends on, the
+    # auto cadence is every 4th frame (ATE-neutral on the scenario
+    # matrix, unlike cadence alone — RESULTS.md); with appends off,
+    # auto = max(1, delay_time/0.1) as before.
+    matching_append_mode: int = 1
 
 
 @dataclass(frozen=True)

@@ -51,6 +51,15 @@ CORNER_MIN_MAP_NUM = 0
 SURFACE_MIN_MAP_NUM = 50
 
 
+def resolve_correspondence_engine(opt) -> str:
+    """'auto' → the fused Pallas kernel on TPU, the dense XLA engine
+    elsewhere (Mosaic kernels have no compiled CPU path; the
+    interpreter would crawl)."""
+    if opt.correspondence == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "dense"
+    return opt.correspondence
+
+
 class RegistrationResult(NamedTuple):
     q_w: jax.Array            # accepted world pose (rolled back if rejected)
     t_w: jax.Array
@@ -121,6 +130,7 @@ def register_frame(
     search uses the 27-bucket grid-hash kNN instead of the dense scan.
     """
     opt = cfg.optimization
+    engine = resolve_correspondence_engine(opt)
     deblur = bool(cfg.common.if_motion_deblur)
     corner_k = opt.line_search_num
     plane_k = opt.plane_search_num
@@ -131,6 +141,15 @@ def register_frame(
     map_c_ok = jnp.sum(map_corners.mask.astype(jnp.int32)) > CORNER_MIN_MAP_NUM
     map_s_ok = jnp.sum(map_surface.mask.astype(jnp.int32)) > SURFACE_MIN_MAP_NUM
     run = jnp.logical_and(enabled, jnp.logical_and(map_c_ok, map_s_ok))
+
+    if engine == "pallas":
+        # the matching buffer is fixed across ICP iterations — build the
+        # kernel's transposed reference operand ONCE per frame (the
+        # relayout costs more than the fused search itself)
+        from ..ops.pallas.knn_fused import build_ref4
+
+        ref4_c = build_ref4(map_corners.xyz, map_corners.mask)
+        ref4_s = build_ref4(map_surface.xyz, map_surface.mask)
 
     def icp_iteration(state: ICPState) -> ICPState:
         # --- correspondence search at the current estimate ------------
@@ -143,9 +162,16 @@ def register_frame(
             q_last, t_last, deblur)
 
         if (grid_corners is not None and grid_surface is not None
-                and opt.correspondence == "grid"):
+                and engine == "grid"):
             cd, ci = grid_knn(qc, grid_corners, k=corner_k)
             sd, si = grid_knn(qs, grid_surface, k=plane_k)
+        elif engine == "pallas":
+            from ..ops.pallas import knn_fused
+
+            cd, ci = knn_fused(qc, map_corners.xyz, map_corners.mask,
+                               k=corner_k, ref4=ref4_c)
+            sd, si = knn_fused(qs, map_surface.xyz, map_surface.mask,
+                               k=plane_k, ref4=ref4_s)
         else:
             qt = cfg.capacity.knn_query_tile
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,

@@ -359,34 +359,74 @@ def odometry_step(
         cell_corners=cell_corners, cell_planes=cell_planes,
         q_w=reg.q_w, t_w=reg.t_w,
     )
+    # Appends between full rebuilds (capacity.matching_append_mode):
+    # dense-correspondence matching mode only — bucket grids have no
+    # in-place append.
+    append_mode = (bool(caps.matching_append_mode)
+                   and cfg.optimization.correspondence != "grid")
     interval = int(caps.matching_rebuild_interval)
     if interval == 0:
-        # Auto: derive the cadence from the staleness the profile
-        # tolerates (`mapping/maximum_pointcloud_delay_time` over the
-        # 0.1 s design scan period, laser_feature_extractor.hpp:68) —
-        # the functional encoding of the reference's async refresh
-        # thread lagging up to that long (laser_mapping.hpp:568-576).
-        # Rebuilding every k-th frame bounds the buffer age by
-        # (k-1)·0.1 s.  The tolerance would admit k = delay/0.1 + 1,
-        # but that claims the reference's WORST-CASE staleness as the
-        # operating point — its async thread typically refreshes within
-        # ~1 frame, and measured ATE degrades when the allowance is
-        # claimed (full_mapping 0.082→0.147, largescale 0.18→0.43 on
-        # the scenario matrix), so the cadence stays at the reference's
-        # typical staleness, not its bound.
+        # Auto cadence.  WITHOUT appends: derive it from the staleness
+        # the profile tolerates (`mapping/maximum_pointcloud_delay_time`
+        # over the 0.1 s design scan period,
+        # laser_feature_extractor.hpp:68) — the functional encoding of
+        # the reference's async refresh thread lagging up to that long
+        # (laser_mapping.hpp:568-576).  The tolerance would admit
+        # k = delay/0.1 + 1, but that claims the reference's WORST-CASE
+        # staleness as the operating point — its async thread typically
+        # refreshes within ~1 frame, and measured ATE degrades when the
+        # allowance is claimed (full_mapping 0.082→0.147, largescale
+        # 0.18→0.43 on the scenario matrix), so the cadence stays at
+        # the reference's typical staleness, not its bound.
+        # WITH appends the newest frame's geometry always reaches the
+        # buffer (the property the ~1-frame refresh provides); only the
+        # voxel dedup lags, so the full-rebuild cadence stretches to
+        # every 4th frame (ATE-neutral on the scenario matrix —
+        # RESULTS.md round 3) and never below the delay-derived cadence.
         interval = max(
             1, round(cfg.mapping.maximum_pointcloud_delay_time / 0.1))
+        if append_mode:
+            interval = max(interval, 4)
     interval = max(interval, 1)
     do_rebuild = jnp.logical_and(
         admit, (state.frame_count % interval) == 0) if interval > 1 else admit
 
-    map_corners, map_surface, grid_corners, grid_surface = lax.cond(
-        do_rebuild,
-        lambda st: _rebuild_matching_buffer(st, cfg),
-        lambda st: (st.map_corners, st.map_surface,
-                    st.grid_corners, st.grid_surface),
-        mid_state,
-    )
+    if append_mode and interval > 1:
+        # Off-cadence admitted frames append their (compacted) world
+        # features at the buffer's valid-prefix end — the buffer always
+        # holds the newest geometry; the cadenced rebuild re-dedups.
+        do_append = jnp.logical_and(admit, jnp.logical_not(do_rebuild))
+
+        def append_path(st):
+            def append(buf: PointBatch, pts: PointBatch):
+                C = buf.capacity
+                fill = jnp.sum(buf.mask.astype(jnp.int32))
+                start = jnp.clip(fill, 0, C - pts.capacity)
+                xyz = lax.dynamic_update_slice(buf.xyz, pts.xyz, (start, 0))
+                mask = lax.dynamic_update_slice(buf.mask, pts.mask, (start,))
+                return PointBatch(
+                    xyz=jnp.where(do_append, xyz, buf.xyz),
+                    time=buf.time,
+                    mask=jnp.where(do_append, mask, buf.mask))
+
+            return (append(st.map_corners, corner_w),
+                    append(st.map_surface, surf_w),
+                    st.grid_corners, st.grid_surface)
+
+        map_corners, map_surface, grid_corners, grid_surface = lax.cond(
+            do_rebuild,
+            lambda st: _rebuild_matching_buffer(st, cfg),
+            append_path,
+            mid_state,
+        )
+    else:
+        map_corners, map_surface, grid_corners, grid_surface = lax.cond(
+            do_rebuild,
+            lambda st: _rebuild_matching_buffer(st, cfg),
+            lambda st: (st.map_corners, st.map_surface,
+                        st.grid_corners, st.grid_surface),
+            mid_state,
+        )
 
     new_state = OdometryState(
         q_w=reg.q_w,

@@ -146,6 +146,22 @@ class OdometryPipeline:
 
         self.cfg = cfg
         self.state: OdometryState = init_state(cfg)
+        # Multi-chip product mode (parallel/mesh_devices > 1): construct
+        # the 1-D mesh once and place the state with the product layout
+        # (parallel.layout) — map/matching-buffer point axes and the
+        # cell directory shard over the mesh; the jitted step then runs
+        # SPMD with XLA collectives for the kNN top-k and J^T J
+        # reductions.  The reference's analogue is the thread-level
+        # concurrency of laser_mapping.hpp:1737-1742, re-expressed as
+        # mesh parallelism (SURVEY.md §5.8).
+        self.mesh = None
+        n_mesh = int(cfg.parallel.mesh_devices)
+        if n_mesh > 1:
+            from ..parallel import make_mesh
+            from ..parallel.layout import shard_state
+
+            self.mesh = make_mesh(n_mesh)
+            self.state = shard_state(self.state, self.mesh)
         self.trajectory = TrajectoryRecord()
         # screen echo of diagnostics when if_verbose_screen_printf == 0
         # (inverted semantics, reference tools_logger.hpp:51-80)
@@ -194,9 +210,17 @@ class OdometryPipeline:
         # when if_motion_deblur is on).
         pieces = (1 if self.cfg.common.if_motion_deblur
                   else self.cfg.common.piecewise_number)
+        inputs = (jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(mask),
+                  jnp.float32(base_time))
+        if self.mesh is not None:
+            # Raw sensor inputs replicate over the mesh (the per-point
+            # front-end scans are sequential along the point axis); the
+            # sharded state pins the step's SPMD partitioning.
+            from ..parallel.layout import replicate
+
+            inputs = replicate(inputs, self.mesh)
         self.state, reg, poses = process_raw_frame(
-            self.state, jnp.asarray(pts), jnp.asarray(inten),
-            jnp.asarray(mask), jnp.float32(base_time), self.cfg,
+            self.state, *inputs, self.cfg,
             piecewise_number=pieces,
         )
         # Defer the device→host sync: park the (device-array) results
@@ -304,6 +328,10 @@ class OdometryPipeline:
         return np.asarray(ds.xyz)[np.asarray(ds.mask)]
 
     def process_feature_frame(self, frame: FeatureFrame) -> None:
+        if self.mesh is not None:
+            from ..parallel.layout import shard_frame
+
+            frame = shard_frame(frame, self.mesh)
         self.state, reg = odometry_step(self.state, frame, self.cfg)
         t = float(frame.time_min)
         self.trajectory.times.append(t)
