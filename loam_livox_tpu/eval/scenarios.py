@@ -156,7 +156,8 @@ SCENARIOS = ("odometry_only", "full_mapping", "largescale_realtime",
 
 
 def run_scenario(name: str, frames: int | None = None,
-                 small: bool = False) -> Dict:
+                 small: bool = False,
+                 overrides: Dict | None = None) -> Dict:
     from ..eval.ate import ate_rmse
     from ..io.simulator import LivoxSimulator, SimConfig
     from ..runtime.pipeline import OdometryPipeline
@@ -164,6 +165,8 @@ def run_scenario(name: str, frames: int | None = None,
     from ..io.simulator import ConvexScene, Trajectory
 
     cfg, kw = scenario_config(name, small=small)
+    if overrides:
+        cfg = cfg.replace(**overrides)
     n = frames or kw["frames"]
     pts = kw["points"]
     sensors = kw.get("sensors", 1)
@@ -218,6 +221,28 @@ def run_scenario(name: str, frames: int | None = None,
 if __name__ == "__main__":
     import sys
 
-    names = sys.argv[1:] or list(SCENARIOS)
-    for nm in names:
-        print(json.dumps(run_scenario(nm)), flush=True)
+    # `--set NS/KEY=VALUE` overrides (repeatable) apply to every listed
+    # scenario — the A/B hook for solver-divergence studies
+    args = sys.argv[1:]
+    overrides: Dict = {}
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--set":
+            path, val = args[i + 1].split("=", 1)
+            ns, key = path.replace(".", "/").split("/", 1)
+            try:
+                v: object = int(val)
+            except ValueError:
+                try:
+                    v = float(val)
+                except ValueError:
+                    v = val
+            overrides.setdefault(ns, {})[key] = v
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+    for nm in names or list(SCENARIOS):
+        print(json.dumps(run_scenario(nm, overrides=overrides or None)),
+              flush=True)

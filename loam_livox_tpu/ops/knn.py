@@ -7,8 +7,9 @@ with a dense, fixed-shape formulation: squared distances
 running top-k merged across reference tiles via ``lax.scan`` — no
 (Q × M) matrix ever materializes in HBM.
 
-This is the XLA baseline; `loam_livox_tpu.ops.pallas.knn` provides the
-hand-tiled Pallas kernel for the same contract.
+This is the XLA baseline (and the CPU path); `ops.pallas.knn_fused`
+provides the hand-tiled fused kernel with the same contract — the TPU
+production engine (`optimization.correspondence = "auto"`).
 """
 from __future__ import annotations
 

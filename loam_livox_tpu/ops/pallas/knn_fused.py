@@ -48,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e30
 
 
-def _kernel(q4_ref, ref4_ref, out_d_ref, out_i_ref, run_d, run_i, *,
-            rt: int, bins: int, engine: str):
+def _kernel(counts_ref, q4_ref, ref4_ref, out_d_ref, out_i_ref,
+            run_d, run_i, *, qt: int, rt: int, bins: int, engine: str):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -58,49 +59,62 @@ def _kernel(q4_ref, ref4_ref, out_d_ref, out_i_ref, run_d, run_i, *,
         run_d[:] = jnp.full(run_d.shape, BIG, jnp.float32)
         run_i[:] = jnp.zeros(run_i.shape, jnp.int32)
 
-    # (QT, RT) distance block: ‖r‖² − 2⟨q, r⟩ (+ mask penalty).
-    # Selection precision matters: single-pass bf16 has absolute error
-    # ~|q||r|·2⁻⁸ (≈ 1-3 m² at ±20 m coordinates), larger than the
-    # near-neighbor distance gaps ICP correspondence rides on —
-    # measured selection recall collapses to 0.46.  Mosaic lowers only
-    # DEFAULT/HIGHEST dot precision, so the two exact-enough paths are
-    # a 6-pass f32 MXU contraction ('mxu') or K=3 explicit VPU
-    # broadcast multiply-adds in f32 ('vpu') — the contraction depth is
-    # 4, so the VPU formulation costs ~6 elementwise passes and no MXU
-    # padding waste.  The returned DISTANCES are additionally rescored
-    # in exact f32 outside the kernel (O(Q·k)).
-    if engine == "mxu":
-        d = lax.dot_general(
-            q4_ref[:], ref4_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)
-    else:
-        d = ref4_ref[3:4, :]                    # ‖r‖² + mask penalty
-        for c in range(3):
-            d = d + q4_ref[:, c:c + 1] * ref4_ref[c:c + 1, :]
-    qt = d.shape[0]
-    n_groups = rt // bins
+    # Tile skipping (the structural advantage over the dense engine):
+    # XLA's static shapes force the dense matmul to crunch the FULL
+    # padded capacity every call, but the matching buffer is typically
+    # a small valid prefix of it (measured ~1-5% full on bounded
+    # scenes).  The prefetched counts bound the valid prefix of each
+    # axis; tiles entirely beyond them contribute nothing (their mask
+    # penalty is BIG) and are skipped outright.
+    active = jnp.logical_and(j * rt < counts_ref[0],
+                             i * qt < counts_ref[1])
 
-    # Binned min + argmin over lane-aligned (QT, L) column groups.
-    # NOTE: a (QT, RT) → (QT, G, L) reshape would express this in two
-    # reductions, but that shape cast splits the lane dimension — Mosaic
-    # either rejects it or mis-lowers it; the unrolled static-slice
-    # min-tree lowers cleanly and costs the same ~2 VPU passes.
-    tile_min = d[:, :bins]
-    for g in range(1, n_groups):
-        tile_min = jnp.minimum(tile_min, d[:, g * bins:(g + 1) * bins])
-    g_best = jnp.full((qt, bins), 2**30, jnp.int32)
-    for g in range(n_groups):
-        blk = d[:, g * bins:(g + 1) * bins]
-        g_best = jnp.minimum(
-            g_best, jnp.where(blk == tile_min, g, 2**30))
-    b_iota = lax.broadcasted_iota(jnp.int32, (qt, bins), 1)
-    tile_idx = j * rt + g_best * bins + b_iota               # global ref ids
+    @pl.when(active)
+    def _():
+        # (QT, RT) distance block: ‖r‖² − 2⟨q, r⟩ (+ mask penalty).
+        # Selection precision matters: single-pass bf16 has absolute
+        # error ~|q||r|·2⁻⁸ (≈ 1-3 m² at ±20 m coordinates), larger
+        # than the near-neighbor distance gaps ICP correspondence rides
+        # on — measured selection recall collapses to 0.46.  Mosaic
+        # lowers only DEFAULT/HIGHEST dot precision, so the two
+        # exact-enough paths are a 6-pass f32 MXU contraction ('mxu')
+        # or K=3 explicit VPU broadcast multiply-adds in f32 ('vpu') —
+        # the contraction depth is 4, so the VPU formulation costs ~6
+        # elementwise passes and no MXU padding waste.  The returned
+        # DISTANCES are additionally rescored in exact f32 outside the
+        # kernel (O(Q·k)).
+        if engine == "mxu":
+            d = lax.dot_general(
+                q4_ref[:], ref4_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)
+        else:
+            d = ref4_ref[3:4, :]                # ‖r‖² + mask penalty
+            for c in range(3):
+                d = d + q4_ref[:, c:c + 1] * ref4_ref[c:c + 1, :]
+        n_groups = rt // bins
 
-    better = tile_min < run_d[:]
-    run_d[:] = jnp.where(better, tile_min, run_d[:])
-    run_i[:] = jnp.where(better, tile_idx, run_i[:])
+        # Binned min + argmin over lane-aligned (QT, L) column groups.
+        # NOTE: a (QT, RT) → (QT, G, L) reshape would express this in
+        # two reductions, but that shape cast splits the lane dimension
+        # — Mosaic either rejects it or mis-lowers it; the unrolled
+        # static-slice min-tree lowers cleanly at the same ~2 VPU
+        # passes.
+        tile_min = d[:, :bins]
+        for g in range(1, n_groups):
+            tile_min = jnp.minimum(tile_min, d[:, g * bins:(g + 1) * bins])
+        g_best = jnp.full((qt, bins), 2**30, jnp.int32)
+        for g in range(n_groups):
+            blk = d[:, g * bins:(g + 1) * bins]
+            g_best = jnp.minimum(
+                g_best, jnp.where(blk == tile_min, g, 2**30))
+        b_iota = lax.broadcasted_iota(jnp.int32, (qt, bins), 1)
+        tile_idx = j * rt + g_best * bins + b_iota           # global ref ids
+
+        better = tile_min < run_d[:]
+        run_d[:] = jnp.where(better, tile_min, run_d[:])
+        run_i[:] = jnp.where(better, tile_idx, run_i[:])
 
     @pl.when(j == nj - 1)
     def _():
@@ -142,6 +156,7 @@ def knn_fused(
     engine: str = "vpu",
     interpret: bool | None = None,
     ref4: jax.Array | None = None,
+    query_count: jax.Array | None = None,
 ):
     """Same contract as `ops.knn.knn`: (Q, k) ascending squared
     distances (BIG where fewer than k valid refs) + int32 indices.
@@ -153,7 +168,10 @@ def knn_fused(
     `interpret=None` auto-selects: compiled on TPU, interpreter
     elsewhere (Mosaic kernels have no compiled CPU path).
     Pass a precomputed `ref4` (`build_ref4`) when searching the same
-    reference set repeatedly.
+    reference set repeatedly.  `query_count` (traced int scalar) bounds
+    the valid-query prefix — query tiles beyond it are skipped and
+    return BIG (callers that compact their queries, e.g. voxel-filter
+    outputs, get the win for free; None = all queries valid).
     """
     assert ref_tile % bins == 0 and bins >= k
     if interpret is None:
@@ -173,31 +191,53 @@ def knn_fused(
     qp, mp = q4.shape[0], ref4.shape[1]
     grid = (qp // query_tile, mp // ref_tile)
 
-    out_d, out_i = pl.pallas_call(
-        partial(_kernel, rt=ref_tile, bins=bins, engine=engine),
-        out_shape=(
-            jax.ShapeDtypeStruct((qp, bins), jnp.float32),
-            jax.ShapeDtypeStruct((qp, bins), jnp.int32),
-        ),
+    # valid-prefix bounds for tile skipping: every tile fully beyond
+    # the LAST valid reference (exact for arbitrary masks) or beyond
+    # the caller's query count contributes nothing
+    iot = jnp.arange(ref_mask.shape[0], dtype=jnp.int32)
+    n_ref = jnp.max(jnp.where(ref_mask, iot + 1, 0)).astype(jnp.int32)
+    n_q = (jnp.int32(qp) if query_count is None
+           else jnp.asarray(query_count, jnp.int32))
+    counts = jnp.stack([n_ref, n_q])
+
+    # beyond-prefix grid steps re-fetch tile 0 (skipped anyway — no DMA
+    # of dead padding)
+    def q_map(i, j, cnt):
+        return (lax.min(i, lax.max(cnt[1] - 1, 0) // query_tile), 0)
+
+    def r_map(i, j, cnt):
+        return (0, lax.min(j, lax.max(cnt[0] - 1, 0) // ref_tile))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((query_tile, 4), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, 4), q_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, ref_tile), lambda i, j: (0, j),
+            pl.BlockSpec((4, ref_tile), r_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((query_tile, bins), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, bins), lambda i, j, cnt: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, bins), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, bins), lambda i, j, cnt: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((query_tile, bins), jnp.float32),
             pltpu.VMEM((query_tile, bins), jnp.int32),
         ],
+    )
+    out_d, out_i = pl.pallas_call(
+        partial(_kernel, qt=query_tile, rt=ref_tile, bins=bins,
+                engine=engine),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, bins), jnp.float32),
+            jax.ShapeDtypeStruct((qp, bins), jnp.int32),
+        ),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(q4, ref4)
+    )(counts, q4, ref4)
 
     # exact top-k over the L bin minima (Q × L, tiny)
     neg, pos = lax.top_k(-out_d, k)                          # (Qp, k)

@@ -145,11 +145,15 @@ def register_frame(
     if engine == "pallas":
         # the matching buffer is fixed across ICP iterations — build the
         # kernel's transposed reference operand ONCE per frame (the
-        # relayout costs more than the fused search itself)
+        # relayout costs more than the fused search itself); the query
+        # sets are voxel-filter outputs (compact valid prefixes), so
+        # their fill counts bound the kernel's query-tile work
         from ..ops.pallas.knn_fused import build_ref4
 
         ref4_c = build_ref4(map_corners.xyz, map_corners.mask)
         ref4_s = build_ref4(map_surface.xyz, map_surface.mask)
+        n_q_corner = jnp.sum(frame_corners.mask.astype(jnp.int32))
+        n_q_surf = jnp.sum(frame_surface.mask.astype(jnp.int32))
 
     def icp_iteration(state: ICPState) -> ICPState:
         # --- correspondence search at the current estimate ------------
@@ -169,9 +173,11 @@ def register_frame(
             from ..ops.pallas import knn_fused
 
             cd, ci = knn_fused(qc, map_corners.xyz, map_corners.mask,
-                               k=corner_k, ref4=ref4_c)
+                               k=corner_k, ref4=ref4_c,
+                               query_count=n_q_corner)
             sd, si = knn_fused(qs, map_surface.xyz, map_surface.mask,
-                               k=plane_k, ref4=ref4_s)
+                               k=plane_k, ref4=ref4_s,
+                               query_count=n_q_surf)
         else:
             qt = cfg.capacity.knn_query_tile
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,

@@ -46,7 +46,7 @@ import numpy as np
 
 from loam_livox_tpu.ops.bucket_grid import BucketGrid, build_bucket_grid, grid_knn
 from loam_livox_tpu.ops.knn import knn
-from loam_livox_tpu.ops.pallas_knn import knn_pallas
+from loam_livox_tpu.ops.pallas.knn_fused import build_ref4, knn_fused
 
 # Peak specs per device kind (dense f32-accurate matmul path + HBM BW).
 # Sources: public TPU spec tables (jax-ml.github.io/scaling-book).
@@ -107,8 +107,33 @@ def main():
         t2 = timeit(lambda q=q: knn(q, ref, mask, k=k, exact=True))
         row["dense_exact_ms"] = t2 * 1e3
         try:
-            t3 = timeit(lambda q=q: knn_pallas(q, ref, mask, k=k))
+            # the production engine: fused distance + binned-argmin
+            # kernel with the ref4 operand prebuilt (as the ICP loop
+            # holds it across iterations)
+            ref4 = build_ref4(ref, mask)
+            jax.block_until_ready(ref4)
+            t3 = timeit(lambda q=q: knn_fused(q, ref, mask, k=k,
+                                              ref4=ref4))
             row["pallas_ms"] = t3 * 1e3
+            t3b = timeit(lambda q=q: knn_fused(q, ref, mask, k=k))
+            row["pallas_with_ref4_build_ms"] = t3b * 1e3
+            # tile skipping at realistic buffer fills: capacity is
+            # sized for worst-case worlds, the measured production fill
+            # on bounded scenes is 1-5% — the dense engine must crunch
+            # the full padded capacity either way
+            for fill in (0.25, 0.01):
+                nv = max(1, int(m * fill))
+                fm = np.zeros(m, bool)
+                fm[:nv] = True
+                fmask = jnp.asarray(fm)
+                ref4f = build_ref4(ref, fmask)
+                jax.block_until_ready(ref4f)
+                tf = timeit(lambda q=q: knn_fused(q, ref, fmask, k=k,
+                                                  ref4=ref4f))
+                row[f"pallas_fill{int(fill * 100)}_ms"] = tf * 1e3
+                tdf = timeit(lambda q=q: knn(q, ref, fmask, k=k,
+                                             precision="high"))
+                row[f"dense_fill{int(fill * 100)}_ms"] = tdf * 1e3
         except Exception as e:  # pallas may be unsupported on this backend
             row["pallas_ms"] = None
             row["pallas_err"] = str(e)[:120]

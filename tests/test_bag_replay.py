@@ -12,6 +12,9 @@ import os
 import numpy as np
 import pytest
 
+# full-pipeline tier: excluded from the fast CI tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 BAG = os.path.join(FIXTURE_DIR, "sim_livox.bag")
 GT = os.path.join(FIXTURE_DIR, "sim_livox_gt.txt")

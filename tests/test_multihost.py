@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+# full-pipeline tier: excluded from the fast CI tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 

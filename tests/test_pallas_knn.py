@@ -76,6 +76,45 @@ class TestFusedKnn:
         de, ie = exact(q, ref, mask, k=3)
         np.testing.assert_array_equal(np.sort(i[:, :3]), np.sort(ie))
 
+    def test_tile_skipping_prefix_fill(self):
+        # the production case: a mostly-empty buffer (valid prefix ≪
+        # capacity) — skipped tiles must not change results
+        rng = np.random.default_rng(4)
+        ref = np.zeros((1024, 3), np.float32)
+        n_valid = 100
+        ref[:n_valid] = rng.uniform(-10, 10, (n_valid, 3))
+        mask = np.zeros(1024, bool)
+        mask[:n_valid] = True
+        q = ref[:32] + rng.normal(0, 0.05, (32, 3)).astype(np.float32)
+        # bins == ref_tile → one ref per bin → the search is exact
+        d, i = knn_fused(jnp.asarray(q), jnp.asarray(ref),
+                         jnp.asarray(mask), k=5, query_tile=16,
+                         ref_tile=128, bins=128, interpret=True)
+        de, ie = exact(q, ref, mask, k=5)
+        np.testing.assert_allclose(np.asarray(d), de, rtol=1e-4, atol=1e-5)
+        assert np.all(np.asarray(i) < n_valid)
+
+    def test_query_count_skips_tail_tiles(self):
+        rng = np.random.default_rng(5)
+        ref = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+        mask = np.ones(256, bool)
+        q = rng.uniform(-10, 10, (64, 3)).astype(np.float32)
+        d_all, i_all = knn_fused(jnp.asarray(q), jnp.asarray(ref),
+                                 jnp.asarray(mask), k=5, query_tile=16,
+                                 ref_tile=128, bins=64, interpret=True)
+        d_cnt, i_cnt = knn_fused(jnp.asarray(q), jnp.asarray(ref),
+                                 jnp.asarray(mask), k=5, query_tile=16,
+                                 ref_tile=128, bins=64, interpret=True,
+                                 query_count=jnp.int32(20))
+        # first 20 queries (plus the rest of their 16-wide tiles, up to
+        # 32) match; tiles fully beyond the count read BIG
+        np.testing.assert_allclose(np.asarray(d_cnt)[:20],
+                                   np.asarray(d_all)[:20],
+                                   rtol=1e-5, atol=1e-6)
+        from loam_livox_tpu.ops.pallas.knn_fused import BIG
+
+        assert np.all(np.asarray(d_cnt)[32:] > BIG * 0.4)
+
     def test_agrees_with_dense_engine(self):
         rng = np.random.default_rng(3)
         q = rng.uniform(-10, 10, (128, 3)).astype(np.float32)

@@ -16,6 +16,9 @@ from loam_livox_tpu.core.config import SlamConfig
 # the scenario CI's proven CPU-scale knobs (eval/scenarios.py SMALL_CAPS)
 from loam_livox_tpu.eval.scenarios import SMALL_CAPS
 
+# full-pipeline tier: excluded from the fast CI tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def small_cfg(mesh_devices=1):
     return SlamConfig().replace(

@@ -13,6 +13,9 @@ import pytest
 
 from loam_livox_tpu.eval.scenarios import run_scenario
 
+# full-pipeline tier: excluded from the fast CI tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 # scenario → (ate_aligned bound, min accepted frames)
 GOLDENS = {
     "odometry_only": (0.35, 12),        # measured 0.167 aligned
