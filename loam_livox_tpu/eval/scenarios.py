@@ -141,8 +141,12 @@ def _scenario_config_full(name: str):
                      "traj": {"lin_hz": np.array([0.05, 0.05, 0.05]),
                               "yaw_hz": 0.05, "pitch_hz": 0.05}}
     if name == "mid100_multihost":
-        # 5: tri-lidar multi-stream + sharded registration (the device
-        # mesh substitutes for multi-host on this machine)
+        # 5: tri-lidar input through the REAL multi-sensor front end
+        # (`frontend.multi.extract_multi_lidar` — vmapped heads, merged
+        # per piecewise window, reference laser_feature_extractor.hpp:
+        # 85,173-180,305-389); the CI variant additionally runs the
+        # odometry step sharded over the virtual 8-device mesh (the
+        # multi-host substitute on this machine, parallel/mesh_devices)
         cfg = SlamConfig().replace(
             common={"if_motion_deblur": 0, "piecewise_number": 2},
             capacity={"max_raw_points": 8192},
@@ -165,6 +169,13 @@ def run_scenario(name: str, frames: int | None = None,
     from ..io.simulator import ConvexScene, Trajectory
 
     cfg, kw = scenario_config(name, small=small)
+    if small and kw.get("sensors", 1) > 1:
+        # CI variant of the tri-lidar scenario: shard the odometry step
+        # over the virtual 8-device mesh (the multi-host substitute)
+        import jax
+
+        if len(jax.devices()) >= 8:
+            cfg = cfg.replace(parallel={"mesh_devices": 8})
     if overrides:
         cfg = cfg.replace(**overrides)
     n = frames or kw["frames"]
@@ -197,12 +208,44 @@ def run_scenario(name: str, frames: int | None = None,
             xyz, inten, bt = sims[0].frame(i)
             pipe.process_raw(xyz, inten, bt)
         else:
-            # merged multi-sensor ingestion: concatenate head clouds
-            # (the Mid-100 driver publishes a common frame)
+            # the REAL multi-sensor path: per-head raw clouds through
+            # the vmapped multi-lidar front end, merged per piecewise
+            # window (reference: per-topic Livox_laser + merge-publish,
+            # laser_feature_extractor.hpp:305-389); identity extrinsics
+            # like the reference (the Mid-100 driver publishes a common
+            # frame)
+            import jax.numpy as jnp
+
+            from ..frontend.multi import extract_multi_lidar
+            from ..ops.voxel import voxel_downsample
+
             parts = [s.frame(i) for s in sims]
-            xyz = np.concatenate([p[0] for p in parts])
-            inten = np.concatenate([p[1] for p in parts])
-            pipe.process_raw(xyz, inten, parts[0][2])
+            caps = cfg.capacity
+            nr = caps.max_raw_points
+            xyz_s = np.zeros((sensors, nr, 3), np.float32)
+            int_s = np.zeros((sensors, nr), np.float32)
+            msk_s = np.zeros((sensors, nr), bool)
+            for si, (x, it, _) in enumerate(parts):
+                m = min(len(x), nr)
+                xyz_s[si, :m] = x[:m]
+                int_s[si, :m] = it[:m]
+                msk_s[si, :m] = True
+            fe = cfg.feature_extraction
+            frames_out = extract_multi_lidar(
+                jnp.asarray(xyz_s), jnp.asarray(int_s), jnp.asarray(msk_s),
+                jnp.float32(parts[0][2]), fe, caps,
+                piecewise_number=cfg.common.piecewise_number)
+            for fr in frames_out:
+                # source voxel downsample before "publish" (reference
+                # laser_feature_extractor.hpp:372-384)
+                fr = fr._replace(
+                    corners=voxel_downsample(
+                        fr.corners, fe.mapping_line_resolution,
+                        capacity=fr.corners.capacity),
+                    surface=voxel_downsample(
+                        fr.surface, fe.mapping_plane_resolution / 2.0,
+                        capacity=fr.surface.capacity))
+                pipe.process_feature_frame(fr)
     pipe.flush()
     wall = time.perf_counter() - t0
     est = pipe.trajectory.positions_array()
