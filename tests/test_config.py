@@ -77,3 +77,31 @@ def test_config_is_hashable_for_jit_static_args():
     assert hash(precision_profile()) != 0
     d = {precision_profile(): 1, realtime_profile(): 2}
     assert len(d) == 2
+
+
+def test_every_knob_is_read_outside_config():
+    """Knob-audit regression (VERDICT r2 item 8): every config field
+    must have a reader outside core/config.py — a knob nothing reads is
+    either dead (delete it) or an unimplemented behavior (wire it)."""
+    import dataclasses
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "loam_livox_tpu")
+    sources = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".py") and fn != "config.py":
+                with open(os.path.join(dirpath, fn)) as f:
+                    sources.append(f.read())
+    for extra in ("bench.py", "__graft_entry__.py"):
+        with open(os.path.join(root, "..", extra)) as f:
+            sources.append(f.read())
+    blob = "\n".join(sources)
+
+    dead = []
+    for section, cls in cfg_mod._SECTION_TYPES.items():
+        for field in dataclasses.fields(cls):
+            if not re.search(rf"\.{field.name}\b", blob):
+                dead.append(f"{section}/{field.name}")
+    assert not dead, f"config fields with no reader: {dead}"

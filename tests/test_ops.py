@@ -192,7 +192,9 @@ class TestDenseModeGridGate:
                       "hist_corner_capacity": 128,
                       "hist_surf_capacity": 512, "history_window": 4},
         )
-        assert cfg.optimization.correspondence == "dense"
+        # non-grid engines ("auto" resolves to pallas/dense) never read
+        # the bucket grids
+        assert cfg.optimization.correspondence == "auto"
         st = init_state(cfg)
         c, s, gc, gs = _rebuild_matching_buffer(st, cfg)
         assert gc is st.grid_corners and gs is st.grid_surface
