@@ -114,5 +114,88 @@ def measure_scaling(
     return out
 
 
+def measure_pipeline_scaling(
+    mesh_sizes: Optional[List[int]] = None,
+    frames: int = 20,
+    warmup: int = 6,
+    points_per_frame: int = 3072,
+    caps: Optional[dict] = None,
+) -> dict:
+    """Scaling of the PRODUCT multi-chip mode: the full odometry
+    pipeline (`OdometryPipeline`, exactly what CLI `--mesh N` runs) at
+    each mesh size, steady-state frames/s.  mesh_sizes may include 0 =
+    the plain unsharded pipeline (the overhead baseline: sharded@1 /
+    plain bounds what the collective-annotated program costs on one
+    chip)."""
+    from ..core.config import SlamConfig
+    from ..io.simulator import LivoxSimulator, SimConfig, Trajectory
+    from ..runtime.pipeline import OdometryPipeline
+
+    devs = jax.devices()
+    if mesh_sizes is None:
+        mesh_sizes = [s for s in (0, 1, 2, 4, 8) if s <= len(devs)]
+    caps = caps or {
+        "max_raw_points": 4096, "max_corner": 256, "max_surface": 1024,
+        "max_corner_ds": 256, "max_surface_ds": 1024,
+        "map_corner_capacity": 4096, "map_surf_capacity": 16384,
+        "hist_corner_capacity": 128, "hist_surf_capacity": 512,
+        "history_window": 16,
+    }
+
+    results = {}
+    for s in mesh_sizes:
+        cfg = SlamConfig().replace(
+            capacity=caps,
+            mapping={"init_accumulate_frames": 4},
+            optimization={"icp_maximum_iteration": 5,
+                          "full_iterations": 3},
+            parallel={"mesh_devices": max(s, 1)},
+        )
+        if s == 1 and len(devs) >= 1:
+            # force the 1-device mesh even though mesh_devices=1 would
+            # normally run plain — this IS the overhead measurement
+            pass
+        pipe = OdometryPipeline(cfg)
+        if s >= 1 and pipe.mesh is None:
+            from ..parallel import make_mesh
+            from ..parallel.layout import shard_state
+
+            pipe.mesh = make_mesh(s)
+            pipe.state = shard_state(pipe.state, pipe.mesh)
+        sim = LivoxSimulator(
+            SimConfig(points_per_frame=points_per_frame, seed=0),
+            traj=Trajectory(ramp_t0=0.6))
+        raw = [sim.frame(i) for i in range(warmup + frames)]
+        for i in range(warmup):
+            pipe.process_raw(*raw[i])
+        pipe.flush()
+        jax.block_until_ready(pipe.state)
+        t0 = time.perf_counter()
+        for i in range(warmup, warmup + frames):
+            pipe.process_raw(*raw[i])
+        pipe.flush()
+        jax.block_until_ready(pipe.state)
+        results[s] = frames / (time.perf_counter() - t0)
+
+    out = {
+        "device_kind": devs[0].device_kind,
+        "frames": frames,
+        "fps": {str(s): round(f, 3) for s, f in results.items()},
+    }
+    if 0 in results and 1 in results:
+        out["sharded_overhead_x"] = round(results[0] / results[1], 4)
+    if 1 in results:
+        out["efficiency"] = {
+            str(s): round(results[s] / (results[1] * s), 4)
+            for s in results if s >= 1
+        }
+    return out
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure_scaling(), indent=2))
+    import sys
+
+    if "--pipeline" in sys.argv:
+        print(json.dumps(measure_pipeline_scaling(), indent=2))
+    else:
+        print(json.dumps(measure_scaling(), indent=2))

@@ -19,3 +19,20 @@ def test_measure_scaling_smoke(eight_devices):
     # ratio (the TPU-measured bound is recorded in RESULTS.md)
     assert out["sharded_overhead_x"] > 0
     assert out["efficiency"]["1"] == 1.0
+
+
+def test_measure_pipeline_scaling_smoke(eight_devices):
+    import pytest
+
+    pytest.importorskip("jax")
+    from loam_livox_tpu.eval.scaling import measure_pipeline_scaling
+
+    out = measure_pipeline_scaling(
+        mesh_sizes=[0, 1], frames=3, warmup=2, points_per_frame=1024,
+        caps={"max_raw_points": 2048, "max_corner": 128,
+              "max_surface": 512, "max_corner_ds": 128,
+              "max_surface_ds": 512, "map_corner_capacity": 2048,
+              "map_surf_capacity": 8192, "hist_corner_capacity": 128,
+              "hist_surf_capacity": 512, "history_window": 8})
+    assert out["fps"]["0"] > 0 and out["fps"]["1"] > 0
+    assert out["sharded_overhead_x"] > 0
