@@ -214,6 +214,16 @@ class ParallelConfig:
     it as collectives."""
     # devices in the 1-D mesh; 1 = single-chip (no sharding)
     mesh_devices: int = 1
+    # Frame-group size for batched racing registration
+    # (runtime/batched.py) — the TPU-native re-expression of the
+    # reference's `common/maximum_parallel_thread` worker pool
+    # (laser_mapping.hpp:1737-1742): G frames register against the
+    # SHARED matching buffer in one vmapped solve from coasted start
+    # poses (the racing threads' ≤G-frame pose/buffer staleness), then
+    # commit in timestamp order.  1 = fully sequential (the precision
+    # semantics; the default); the realtime profile's analogue of
+    # threads=3 is frame_batch=3.
+    frame_batch: int = 1
 
 
 @dataclass(frozen=True)

@@ -215,6 +215,19 @@ def _rebuild_matching_buffer(state: OdometryState, cfg: SlamConfig
     return corners, surface, grid_c, grid_s
 
 
+def input_downsample(frame: FeatureFrame, cfg: SlamConfig):
+    """ICP input voxel downsample (reference :1368-1373)."""
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+    if cfg.mapping.input_downsample_mode:
+        corner_in = voxel_downsample(frame.corners, fe.mapping_line_resolution,
+                                     capacity=caps.max_corner_ds)
+        surf_in = voxel_downsample(frame.surface, fe.mapping_plane_resolution,
+                                   capacity=caps.max_surface_ds)
+        return corner_in, surf_in
+    return frame.corners, frame.surface
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def odometry_step(
     state: OdometryState,
@@ -222,18 +235,7 @@ def odometry_step(
     cfg: SlamConfig,
 ) -> Tuple[OdometryState, RegistrationResult]:
     """Process one feature frame: register, map-update, rebuild buffer."""
-    fe = cfg.feature_extraction
-    caps = cfg.capacity
-    deblur = bool(cfg.common.if_motion_deblur)
-
-    # ---- input downsample (reference :1368-1373) ------------------------
-    if cfg.mapping.input_downsample_mode:
-        corner_in = voxel_downsample(frame.corners, fe.mapping_line_resolution,
-                                     capacity=caps.max_corner_ds)
-        surf_in = voxel_downsample(frame.surface, fe.mapping_plane_resolution,
-                                   capacity=caps.max_surface_ds)
-    else:
-        corner_in, surf_in = frame.corners, frame.surface
+    corner_in, surf_in = input_downsample(frame, cfg)
 
     # ---- registration gate (reference config :28-30) --------------------
     enabled = state.frame_count >= cfg.mapping.init_accumulate_frames
@@ -248,6 +250,32 @@ def odometry_step(
         grid_corners=state.grid_corners,
         grid_surface=state.grid_surface,
     )
+    state = state._replace(rng=rng)
+    return commit_frame(state, frame, corner_in, surf_in, reg,
+                        state.q_w, state.t_w, cfg)
+
+
+def commit_frame(
+    state: OdometryState,
+    frame: FeatureFrame,
+    corner_in: PointBatch,
+    surf_in: PointBatch,
+    reg: RegistrationResult,
+    q_base: jax.Array,
+    t_base: jax.Array,
+    cfg: SlamConfig,
+) -> Tuple[OdometryState, RegistrationResult]:
+    """Everything after registration: pose policy, history ring, cell
+    maps, matching-buffer append/rebuild (reference
+    `process_new_scan`'s post-ICP half, laser_mapping.hpp:1413-1564).
+
+    ``q_base/t_base`` is the pose the registration's increment composes
+    from — ``state.q_w`` in the sequential step; the per-frame INIT
+    pose in the batched step (`runtime.batched`), where several frames
+    register against the same buffer before any commit."""
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+    deblur = bool(cfg.common.if_motion_deblur)
 
     # Rejected frames: add nothing to the map (reference :1416-1420).
     add_frame = reg.accepted
@@ -274,10 +302,10 @@ def odometry_step(
     s_s = refine_blur(surf_in.time, frame.time_min, frame.time_max, deblur)
     corner_w = corner_in._replace(xyz=res.transform_points_incre(
         reg.q_incre, reg.t_incre, corner_in.xyz, s_c,
-        state.q_w, state.t_w, deblur))
+        q_base, t_base, deblur))
     surf_w = surf_in._replace(xyz=res.transform_points_incre(
         reg.q_incre, reg.t_incre, surf_in.xyz, s_s,
-        state.q_w, state.t_w, deblur))
+        q_base, t_base, deblur))
 
     corner_w = voxel_downsample(corner_w, fe.mapping_line_resolution,
                                 capacity=caps.hist_corner_capacity)
@@ -345,7 +373,7 @@ def odometry_step(
         full_w = frame.full._replace(
             xyz=res.transform_points_incre(
                 reg.q_incre, reg.t_incre, frame.full.xyz, s_f,
-                state.q_w, state.t_w, deblur),
+                q_base, t_base, deblur),
             mask=frame.full.mask & admit)
         cell_full, last_touched = append_cloud(
             state.cell_full, full_w, revisit, max_new=max_new)
@@ -450,6 +478,6 @@ def odometry_step(
         map_surface=map_surface,
         grid_corners=grid_corners,
         grid_surface=grid_surface,
-        rng=rng,
+        rng=state.rng,
     )
     return new_state, reg

@@ -125,6 +125,41 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
     return state, last_reg, poses
 
 
+@partial(jax.jit, static_argnames=("cfg", "group"))
+def process_raw_frames_batched(state, pts, inten, mask, t0s,
+                               cfg: SlamConfig, group: int):
+    """Fused batched program: G raw frames → vmapped front end →
+    batched racing registration (`runtime.batched`) → G commits.
+    Requires an effective piecewise count of 1 (deblur on, or
+    piecewise_number 1 — the realtime configurations).
+
+    pts (G, N, 3), inten (G, N), mask (G, N), t0s (G,).
+    Returns (state, (q_w, t_w, accepted, time_min) with leading dim G).
+    """
+    from ..frontend.livox import extract_point_info, select_features
+    from .batched import odometry_step_batched
+
+    fe = cfg.feature_extraction
+    caps = cfg.capacity
+
+    def extract_one(p, it, m, t0):
+        info, n_petals = extract_point_info(p, it, m, t0, fe, caps)
+        fr = select_features(p, info, n_petals, 0.0, 1.0, fe, caps)
+        return fr._replace(
+            corners=voxel_downsample(fr.corners, fe.mapping_line_resolution,
+                                     capacity=caps.max_corner),
+            surface=voxel_downsample(fr.surface,
+                                     fe.mapping_plane_resolution / 2.0,
+                                     capacity=caps.max_surface),
+        )
+
+    frames = jax.vmap(extract_one)(pts, inten, mask,
+                                   t0s.astype(jnp.float32))
+    state, regs = odometry_step_batched(state, frames, cfg, group)
+    poses = (regs.q_w, regs.t_w, regs.accepted, frames.time_min)
+    return state, regs, poses
+
+
 @dataclass
 class TrajectoryRecord:
     times: List[float] = field(default_factory=list)
@@ -179,6 +214,20 @@ class OdometryPipeline:
         self.pipeline_depth = max(1, int(cfg.common.maximum_parallel_thread))
         self._pending: deque = deque()
         self._frame_idx = 0
+        # Batched racing registration (parallel/frame_batch > 1): raw
+        # frames accumulate into groups of G and register in one
+        # vmapped dispatch (runtime/batched.py — the reference's
+        # maximum_parallel_thread worker pool re-expressed on-device).
+        self.frame_batch = max(1, int(cfg.parallel.frame_batch))
+        if self.frame_batch > 1:
+            pieces = (1 if cfg.common.if_motion_deblur
+                      else cfg.common.piecewise_number)
+            if pieces != 1:
+                raise ValueError(
+                    "parallel/frame_batch > 1 requires an effective "
+                    "piecewise count of 1 (deblur on, or "
+                    "common/piecewise_number = 1)")
+        self._batch_buf: List = []
         self._pcd_dir = None
         if cfg.common.if_save_to_pcd_files:
             import os
@@ -205,6 +254,12 @@ class OdometryPipeline:
         from ..utils import logging as L
 
         self.timer.tic(L.SPAN_FRAME)
+        if self.frame_batch > 1:
+            self._batch_buf.append((pts, inten, mask, base_time))
+            if len(self._batch_buf) == self.frame_batch:
+                self._dispatch_batch()
+            self._drain_to_depth()
+            return
         # Motion deblur replaces piecewise splitting (reference:
         # laser_feature_extractor.hpp:306-309 forces piece_wise = 1
         # when if_motion_deblur is on).
@@ -231,6 +286,9 @@ class OdometryPipeline:
             (self._frame_idx, self.state, reg, poses,
              pts[:m] if self._pcd_dir else None))
         self._frame_idx += 1
+        self._drain_to_depth()
+
+    def _drain_to_depth(self) -> None:
         if self.pipeline_depth == 1:
             while self._pending:        # fully synchronous
                 self._drain_one()
@@ -238,8 +296,33 @@ class OdometryPipeline:
             while len(self._pending) > self.pipeline_depth:
                 self._drain_one()
 
+    def _dispatch_batch(self) -> None:
+        """One vmapped dispatch over the accumulated raw-frame group
+        (runtime/batched.py racing registration)."""
+        group = len(self._batch_buf)
+        pts = jnp.asarray(np.stack([b[0] for b in self._batch_buf]))
+        inten = jnp.asarray(np.stack([b[1] for b in self._batch_buf]))
+        mask = jnp.asarray(np.stack([b[2] for b in self._batch_buf]))
+        t0s = jnp.asarray(np.asarray([b[3] for b in self._batch_buf],
+                                     np.float32))
+        self._batch_buf = []
+        inputs = (pts, inten, mask, t0s)
+        if self.mesh is not None:
+            from ..parallel.layout import replicate
+
+            inputs = replicate(inputs, self.mesh)
+        self.state, regs, poses = process_raw_frames_batched(
+            self.state, *inputs, self.cfg, group)
+        last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
+        self._pending.append(
+            (self._frame_idx, self.state, last_reg, poses, None))
+        self._frame_idx += group
+
     def flush(self) -> None:
-        """Drain all in-flight frames (host observes every result)."""
+        """Drain all in-flight frames (host observes every result);
+        with frame batching, a partial tail group dispatches first."""
+        if self._batch_buf:
+            self._dispatch_batch()
         while self._pending:
             self._drain_one()
 
