@@ -222,7 +222,12 @@ class ParallelConfig:
     # poses (the racing threads' ≤G-frame pose/buffer staleness), then
     # commit in timestamp order.  1 = fully sequential (the precision
     # semantics; the default); the realtime profile's analogue of
-    # threads=3 is frame_batch=3.
+    # threads=3 is frame_batch=3.  Measured (RESULTS.md): 54 → 75 fps
+    # at G=3; ATE parity on normal-speed streams with deblur OFF
+    # (deblur amplifies the coasted-init error — the same fragility the
+    # deblur notes document — and fast 4×-speed trajectories pay the
+    # buffer staleness), so pair it with if_motion_deblur=0 /
+    # piecewise_number=1 and normal platform dynamics.
     frame_batch: int = 1
 
 
