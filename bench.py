@@ -28,6 +28,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the frame program costs minutes of
+    # XLA compile through the remote-TPU tunnel; cache it across bench
+    # runs (same knobs as tests/conftest.py).
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_xla_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from loam_livox_tpu.core.config import SlamConfig
     from loam_livox_tpu.io.simulator import LivoxSimulator, SimConfig
     from loam_livox_tpu.runtime.odometry import init_state

@@ -52,6 +52,22 @@ def _cost(r: jax.Array, mask: jax.Array, delta: float) -> jax.Array:
     return 0.5 * jnp.sum(jnp.where(mask, huber_rho(s, delta), 0.0))
 
 
+def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
+                    delta: float):
+    """Huber-weighted J^T J (6×6) and J^T r (6,) from evaluated
+    residuals/Jacobians — separated out so a caller holding (r, J) from
+    a previous pass can re-reduce under a different block mask (the
+    inlier prune changes only the mask, not the evaluation point)."""
+    s = jnp.sum(r0 * r0, axis=-1)
+    w = jnp.where(mask, huber_weight(s, delta), 0.0)
+    sw = jnp.sqrt(w)
+    rw = r0 * sw[:, None]
+    Jw = J * sw[:, None, None]
+    H = jnp.einsum("nij,nik->jk", Jw, Jw, precision=lax.Precision.HIGHEST)
+    g = jnp.einsum("nij,ni->j", Jw, rw, precision=lax.Precision.HIGHEST)
+    return H, g
+
+
 def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,
                    fj: ResidualJacFn | None = None):
     """Huber-weighted J^T J (6×6) and J^T r (6,) at the current point."""
@@ -67,14 +83,8 @@ def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,
         zero = jnp.zeros(6, q.dtype)
         r0, mask = f(q, t)
         J = jax.jacfwd(res_of_delta)(zero)          # (N, 3, 6)
-    s = jnp.sum(r0 * r0, axis=-1)
-    w = jnp.where(mask, huber_weight(s, delta), 0.0)
-    sw = jnp.sqrt(w)
-    rw = r0 * sw[:, None]
-    Jw = J * sw[:, None, None]
-    H = jnp.einsum("nij,nik->jk", Jw, Jw, precision=lax.Precision.HIGHEST)
-    g = jnp.einsum("nij,ni->j", Jw, rw, precision=lax.Precision.HIGHEST)
-    return H, g, r0, mask
+    H, g = _system_from_rJ(r0, J, mask, delta)
+    return H, g, r0, J, mask
 
 
 def _solve_damped(H: jax.Array, g: jax.Array, lam: jax.Array) -> jax.Array:
@@ -92,6 +102,10 @@ class LMState(NamedTuple):
     t: jax.Array
     lam: jax.Array
     cost: jax.Array
+    H: jax.Array               # normal system at (q, t) — reused across
+    g: jax.Array               # rejected steps instead of re-deriving it
+    r: jax.Array               # residuals / Jacobian at (q, t) — lets the
+    J: jax.Array               # caller re-reduce under a pruned mask
 
 
 def lm_solve(
@@ -101,18 +115,33 @@ def lm_solve(
     iterations: int,
     opt: OptimizationConfig,
     fj: ResidualJacFn | None = None,
+    init_sys=None,
 ) -> LMState:
-    """Fixed-iteration LM with accept/reject damping adaptation."""
+    """Fixed-iteration LM with accept/reject damping adaptation.
+
+    The loop state carries the normal system of the CURRENT point: each
+    step builds (H, g, residuals) at the trial point in one pass (the
+    Jacobian pass yields the primal residuals anyway), compares costs,
+    and on acceptance adopts that system for the next step.  This halves
+    the residual evaluations per step vs the naive
+    build-at-current + evaluate-at-trial schedule, with identical
+    accept/reject decisions (a rejected step previously rebuilt the
+    same system at the unchanged point).
+
+    ``init_sys`` — optional (H, g, cost, r, J) already evaluated at
+    (q0, t0); skips the initial evaluation pass entirely (used by the
+    two-phase schedule, whose prune step re-masks the prerun's final
+    system instead of re-evaluating it)."""
     delta = opt.huber_delta
     tmax = opt.max_allow_incre_T
 
     def step(state: LMState, _):
-        H, g, _, _ = _normal_system(f, state.q, state.t, delta, fj)
-        dd = _solve_damped(H, g, state.lam)
+        dd = _solve_damped(state.H, state.g, state.lam)
         q_new = se3.quat_normalize(
             se3.quat_multiply(se3.quat_exp(dd[:3]), state.q))
         t_new = jnp.clip(state.t + dd[3:], -tmax, tmax)
-        r_new, m_new = f(q_new, t_new)
+        H_new, g_new, r_new, J_new, m_new = _normal_system(
+            f, q_new, t_new, delta, fj)
         c_new = _cost(r_new, m_new, delta)
         accept = c_new < state.cost
         new_state = LMState(
@@ -120,12 +149,20 @@ def lm_solve(
             t=jnp.where(accept, t_new, state.t),
             lam=jnp.where(accept, state.lam * 0.3, state.lam * 5.0),
             cost=jnp.minimum(c_new, state.cost),
+            H=jnp.where(accept, H_new, state.H),
+            g=jnp.where(accept, g_new, state.g),
+            r=jnp.where(accept, r_new, state.r),
+            J=jnp.where(accept, J_new, state.J),
         )
         return new_state, None
 
-    r0, m0 = f(q0, t0)
+    if init_sys is not None:
+        H0, g0, c0, r0, J0 = init_sys
+    else:
+        H0, g0, r0, J0, m0 = _normal_system(f, q0, t0, delta, fj)
+        c0 = _cost(r0, m0, delta)
     init = LMState(q=q0, t=t0, lam=jnp.float32(opt.lm_init_lambda),
-                   cost=_cost(r0, m0, opt.huber_delta))
+                   cost=c0, H=H0, g=g0, r=r0, J=J0)
     out, _ = lax.scan(step, init, None, length=iterations)
     return out
 
@@ -154,24 +191,28 @@ def solve_two_phase(
 
     # Inlier pruning on loss-corrected residuals: threshold =
     # max(inlier_dis, ratio-quantile of per-block |r|₁)
-    # (reference :484-499).
-    r, mask = f_all(pre.q, pre.t)
+    # (reference :484-499).  The prerun's final state already holds the
+    # residuals/Jacobian at (pre.q, pre.t) — the prune only changes the
+    # block MASK, so the full solve's initial system is a re-reduction
+    # of the carried (r, J), not a new evaluation pass.
+    r = pre.r
     s = jnp.sum(r * r, axis=-1)
     rc = r * jnp.sqrt(huber_weight(s, opt.huber_delta))[:, None]
     l1 = jnp.sum(jnp.abs(rc), axis=-1)
     thr = jnp.maximum(
         jnp.float32(opt.inlier_dis),
-        masked_quantile_l1(l1, mask, opt.inlier_ratio),
+        masked_quantile_l1(l1, base_mask, opt.inlier_ratio),
     )
     keep = jnp.logical_and(base_mask, l1 <= thr)
 
     f_in = f_with_mask(keep)
     fj_in = fj_with_mask(keep) if fj_with_mask is not None else None
-    r_i, m_i = f_in(pre.q, pre.t)
-    initial_cost = _cost(r_i, m_i, opt.huber_delta)
-    full = lm_solve(f_in, pre.q, pre.t, opt.full_iterations, opt, fj_in)
+    initial_cost = _cost(r, keep, opt.huber_delta)
+    H_i, g_i = _system_from_rJ(r, pre.J, keep, opt.huber_delta)
+    full = lm_solve(f_in, pre.q, pre.t, opt.full_iterations, opt, fj_in,
+                    init_sys=(H_i, g_i, initial_cost, r, pre.J))
 
-    n_blocks = jnp.sum(m_i.astype(jnp.int32))
+    n_blocks = jnp.sum(keep.astype(jnp.int32))
     inlier_threshold = thr * full.cost / jnp.maximum(initial_cost, 1e-12)
     info = SolveInfo(
         initial_cost=initial_cost,
