@@ -122,11 +122,13 @@ def lm_solve(
     The loop state carries the normal system of the CURRENT point: each
     step builds (H, g, residuals) at the trial point in one pass (the
     Jacobian pass yields the primal residuals anyway), compares costs,
-    and on acceptance adopts that system for the next step.  This halves
-    the residual evaluations per step vs the naive
-    build-at-current + evaluate-at-trial schedule, with identical
-    accept/reject decisions (a rejected step previously rebuilt the
-    same system at the unchanged point).
+    and on acceptance adopts that system for the next step, with
+    identical accept/reject decisions (a rejected step previously
+    rebuilt the same system at the unchanged point).  Cost model: on
+    the analytic-Jacobian (fj) path this halves the residual
+    evaluations per step; on the jacfwd path the saving is one primal
+    evaluation out of ~8 per step, and a rejected step now computes a
+    full Jacobian at the discarded trial point.
 
     ``init_sys`` — optional (H, g, cost, r, J) already evaluated at
     (q0, t0); skips the initial evaluation pass entirely (used by the
@@ -177,9 +179,15 @@ def solve_two_phase(
 ):
     """The reference's prerun → prune → full-solve schedule.
 
-    ``f_with_mask(extra_mask)`` must return a ResidualFn whose block
-    mask is (built-in validity ∧ extra_mask); ``fj_with_mask`` the
-    optional analytic-Jacobian counterpart.
+    ``f_with_mask(extra_mask)`` must return a ResidualFn whose returned
+    block mask EQUALS ``extra_mask`` — i.e. ``base_mask`` must already
+    include every built-in validity gate (the icp.py caller folds
+    target validity into ``base_mask``).  The prune quantile, the full
+    solve's initial cost, and its initial H/g all reduce under masks
+    derived from ``base_mask`` directly; a residual fn that tightened
+    the mask internally would have its built-in-invalid blocks included
+    in those reductions.  ``fj_with_mask`` is the optional
+    analytic-Jacobian counterpart under the same contract.
 
     Returns (q, t, SolveInfo).  The exported inlier threshold is scaled
     by final/initial cost of the full solve, matching

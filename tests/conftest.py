@@ -27,8 +27,35 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the fused frame program costs minutes of
 # XLA compile on this host; cache it across pytest processes so repeat
 # runs skip straight to execution.
-_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                            os.path.expanduser("~/.cache/jax_xla_cache"))
+#
+# The cache directory is keyed by a fingerprint of this host's CPU
+# features: XLA:CPU AOT entries embed machine code tuned to the
+# compiling machine, and loading an entry produced on a host with
+# different CPU features is at best noisy (cpu_aot_loader warnings) and
+# at worst numerically wrong or SIGILL — a reproducibility hazard for
+# the sharded-vs-single-device equivalence suite.  A per-machine
+# subdirectory makes cross-machine entries unreachable.
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    tokens = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    tokens.append(line.strip())
+                    if len(tokens) > 4:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(tokens).encode()).hexdigest()[:16]
+
+
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cache_dir is None:
+    _cache_dir = os.path.join(
+        os.path.expanduser("~/.cache/jax_xla_cache"), _host_fingerprint())
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

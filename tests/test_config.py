@@ -9,6 +9,43 @@ from loam_livox_tpu.core.config import (
 )
 
 
+def test_shipped_profiles_run_deblur_off_piecewise_3():
+    """The shipped reference YAMLs set `common/if_motion_deblur: 0`
+    (performance_precision.yaml:5, performance_realtime.yaml:5) and
+    omit `common/piecewise_number` whose node default is 3
+    (laser_feature_extractor.hpp:141-142): the faithful shipped modes
+    run 3 piecewise registrations per frame, deblur OFF."""
+    for c in (precision_profile(), realtime_profile(), largescale_profile()):
+        assert c.common.if_motion_deblur == 0
+        assert c.common.piecewise_number == 3
+    d = cfg_mod.deblur_precision_profile()
+    assert d.common.if_motion_deblur == 1
+
+
+def test_profiles_equal_shipped_yaml_files():
+    """`precision_profile()`/`realtime_profile()` must equal loading
+    the repo's reference-schema YAMLs — one source of truth."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    assert cfg_mod.load_yaml(
+        os.path.join(root, "performance_precision.yaml")) == precision_profile()
+    assert cfg_mod.load_yaml(
+        os.path.join(root, "performance_realtime.yaml")) == realtime_profile()
+
+
+def test_yaml_type_coercion():
+    """YAML 1.1 parses `7e-4` (dotless exponent) as a string; the
+    loader must coerce to the declared field types."""
+    c = from_dict({"feature_extraction": {"livox_min_sigma": "7e-4",
+                                          "scan_line": "64"},
+                   "mapping": {"max_allow_incre_T": 1}})
+    assert c.feature_extraction.livox_min_sigma == 7e-4
+    assert c.feature_extraction.scan_line == 64
+    assert c.mapping.max_allow_incre_T == 1.0
+    assert isinstance(c.mapping.max_allow_incre_T, float)
+
+
 def test_precision_defaults_match_reference_yaml():
     c = precision_profile()
     assert c.common.maximum_parallel_thread == 1
