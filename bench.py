@@ -8,9 +8,20 @@ per frame.  Baseline = the 10 Hz real-time input rate the reference is
 engineered to keep up with ("real time" ``README.md:9``); the driver
 target is >2× that on a single TPU chip (BASELINE.md).
 
+Three configurations are timed:
+* the framework default (deblur ON → one slerp-compensated registration
+  per frame) — the headline ``value``;
+* the SHIPPED precision profile (deblur OFF, piecewise 3 — the
+  reference's actual precision mode: 3 registrations per 0.1 s frame,
+  ``config/performance_precision.yaml:5`` +
+  ``laser_feature_extractor.hpp:141-142``);
+* the SHIPPED realtime profile (same piecewise-3 mode at the realtime
+  knobs).
+
 Prints ONE JSON line:
   {"metric": "odometry_fps", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 10.0}
+   "vs_baseline": N / 10.0, "shipped_precision_fps": N,
+   "shipped_realtime_fps": N}
 """
 from __future__ import annotations
 
@@ -22,6 +33,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def bench_config(cfg, raw, warmup, n_frames):
+    """Time the fused per-frame program over the prepared raw stream."""
+    import jax
+
+    from loam_livox_tpu.runtime.odometry import init_state
+    from loam_livox_tpu.runtime.pipeline import process_raw_frame
+
+    pieces = (1 if cfg.common.if_motion_deblur
+              else cfg.common.piecewise_number)
+    state = init_state(cfg)
+    for i in range(warmup):
+        state, _, _ = process_raw_frame(state, *raw[i], cfg,
+                                        piecewise_number=pieces)
+    jax.block_until_ready(state)
+
+    t_start = time.perf_counter()
+    for i in range(warmup, warmup + n_frames):
+        state, _, _ = process_raw_frame(state, *raw[i], cfg,
+                                        piecewise_number=pieces)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+    return n_frames / wall
 
 
 def main():
@@ -38,21 +73,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    from loam_livox_tpu.core.config import SlamConfig
+    from loam_livox_tpu.core.config import (
+        SlamConfig,
+        precision_profile,
+        realtime_profile,
+    )
     from loam_livox_tpu.io.simulator import LivoxSimulator, SimConfig
-    from loam_livox_tpu.runtime.odometry import init_state
-    from loam_livox_tpu.runtime.pipeline import process_raw_frame
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
     pts_per_frame = 10000
     cap = 16384
-
-    cfg = SlamConfig().replace(
-        mapping={"init_accumulate_frames": 10},
-    )
-    fe = cfg.feature_extraction
-    caps = cfg.capacity
 
     sim = LivoxSimulator(SimConfig(points_per_frame=pts_per_frame))
     raw = []
@@ -67,30 +98,20 @@ def main():
         raw.append((jnp.asarray(pts), jnp.asarray(it), jnp.asarray(m),
                     jnp.float32(t0)))
 
-    state = init_state(cfg)
+    accel = dict(mapping={"init_accumulate_frames": 10})
+    fps = bench_config(SlamConfig().replace(**accel), raw, warmup, n_frames)
+    fps_prec = bench_config(precision_profile().replace(**accel),
+                            raw, warmup, n_frames)
+    fps_rt = bench_config(realtime_profile().replace(**accel),
+                          raw, warmup, n_frames)
 
-    def process(state, pts, inten, mask, t0):
-        state, reg, _ = process_raw_frame(state, pts, inten, mask, t0, cfg,
-                                          piecewise_number=1)
-        return state, reg
-
-    # warmup (compile + map init)
-    for i in range(warmup):
-        state, reg = process(state, *raw[i])
-    jax.block_until_ready(state)
-
-    t_start = time.perf_counter()
-    for i in range(warmup, warmup + n_frames):
-        state, reg = process(state, *raw[i])
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t_start
-
-    fps = n_frames / wall
     print(json.dumps({
         "metric": "odometry_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
+        "shipped_precision_fps": round(fps_prec, 3),
+        "shipped_realtime_fps": round(fps_rt, 3),
     }))
 
 

@@ -133,6 +133,15 @@ class OptimizationConfig:
     # "grid" = 27-bucket grid-hash search (ops.bucket_grid, the
     #   crossover choice beyond ~5·10^5 map points for non-TPU).
     correspondence: str = "auto"
+    # Dense-engine kNN selection: 0 = `lax.approx_min_k` at recall 0.99
+    # (the measured-ATE-neutral default — see ops/knn.py); 1 = exact
+    # `lax.top_k`.  Exact selection is shard-invariant: approx_min_k's
+    # GSPMD-partitioned lowering (per-shard approx + merge) drops a
+    # slightly DIFFERENT ~1% candidate set than the single-device
+    # binned reduction, so the multi-chip equivalence contract
+    # (test_parallel_mode) needs exact selection when the reference
+    # axis is sharded.
+    knn_exact: int = 0
     # MXU precision of the kNN distance matmul: "high" (3-pass bf16,
     # the default — 29% faster on the dominant 2048×65536 kernel,
     # 0.98 index agreement with full precision; error analysis in

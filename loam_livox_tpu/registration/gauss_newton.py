@@ -46,10 +46,59 @@ class SolveInfo(NamedTuple):
     n_blocks: jax.Array
 
 
+# Fixed reduction-tree fan-out for the residual-axis sums.  The
+# SHARD-INVARIANCE contract of the product multi-chip mode
+# (parallel/mesh_devices — tests/test_parallel_mode.py asserts the
+# sharded trajectory EQUALS the 1-device one) requires the solver's
+# float reductions to produce bit-identical results however the
+# residual axis is laid out: under GSPMD a plain `jnp.sum`/einsum over
+# a sharded axis becomes per-shard partials + an all-reduce, a
+# DIFFERENT float summation order than the single-device reduce —
+# enough noise (~1e-7 relative) to flip accept gates on marginal
+# frames and cascade through the freeze-on-reject policy (measured:
+# 9.5 cm trajectory divergence by frame 15 of the equivalence test).
+# Reducing in _REDUCE_BLOCKS fixed blocks with an explicitly ordered
+# partial-sum chain pins the grouping in BOTH layouts: each block is
+# one device's local reduction on the mesh (block = shard when
+# mesh_devices == _REDUCE_BLOCKS, a sub-shard split otherwise), and
+# the final chain of _REDUCE_BLOCKS adds runs replicated in program
+# order.  Meshes larger than _REDUCE_BLOCKS devices would regroup the
+# intra-block partials again — keep it ≥ the largest product mesh.
+_REDUCE_BLOCKS = 8
+
+
+def _blocked(x: jax.Array):
+    """Pad the leading axis to a multiple of _REDUCE_BLOCKS and reshape
+    to (_REDUCE_BLOCKS, n_pad // _REDUCE_BLOCKS, ...)."""
+    n = x.shape[0]
+    pad = (-n) % _REDUCE_BLOCKS
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x.reshape((_REDUCE_BLOCKS, (n + pad) // _REDUCE_BLOCKS)
+                     + x.shape[1:])
+
+
+def _chain_sum(partials: jax.Array) -> jax.Array:
+    """Sum the (_REDUCE_BLOCKS, ...) partials in explicit program
+    order — a fixed add chain XLA does not reassociate, identical in
+    sharded and unsharded lowerings (unlike a reduce op, whose
+    partitioned grouping GSPMD chooses)."""
+    acc = partials[0]
+    for b in range(1, _REDUCE_BLOCKS):
+        acc = acc + partials[b]
+    return acc
+
+
+def shard_invariant_sum(x: jax.Array) -> jax.Array:
+    """Bit-deterministic sum over the leading axis, invariant to how
+    that axis is sharded (see _REDUCE_BLOCKS)."""
+    return _chain_sum(jnp.sum(_blocked(x), axis=1))
+
+
 def _cost(r: jax.Array, mask: jax.Array, delta: float) -> jax.Array:
     """Ceres-style total cost: 0.5 Σ ρ(‖r_block‖²) over valid blocks."""
     s = jnp.sum(r * r, axis=-1)
-    return 0.5 * jnp.sum(jnp.where(mask, huber_rho(s, delta), 0.0))
+    return 0.5 * shard_invariant_sum(jnp.where(mask, huber_rho(s, delta), 0.0))
 
 
 def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
@@ -57,15 +106,19 @@ def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
     """Huber-weighted J^T J (6×6) and J^T r (6,) from evaluated
     residuals/Jacobians — separated out so a caller holding (r, J) from
     a previous pass can re-reduce under a different block mask (the
-    inlier prune changes only the mask, not the evaluation point)."""
+    inlier prune changes only the mask, not the evaluation point).
+    Reductions over the residual axis use the fixed-block scheme (see
+    _REDUCE_BLOCKS) so the result is independent of the axis sharding."""
     s = jnp.sum(r0 * r0, axis=-1)
     w = jnp.where(mask, huber_weight(s, delta), 0.0)
     sw = jnp.sqrt(w)
     rw = r0 * sw[:, None]
     Jw = J * sw[:, None, None]
-    H = jnp.einsum("nij,nik->jk", Jw, Jw, precision=lax.Precision.HIGHEST)
-    g = jnp.einsum("nij,ni->j", Jw, rw, precision=lax.Precision.HIGHEST)
-    return H, g
+    Hp = jnp.einsum("bnij,bnik->bjk", _blocked(Jw), _blocked(Jw),
+                    precision=lax.Precision.HIGHEST)
+    gp = jnp.einsum("bnij,bni->bj", _blocked(Jw), _blocked(rw),
+                    precision=lax.Precision.HIGHEST)
+    return _chain_sum(Hp), _chain_sum(gp)
 
 
 def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,

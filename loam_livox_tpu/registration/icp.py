@@ -180,10 +180,13 @@ def register_frame(
                                query_count=n_q_surf)
         else:
             qt = cfg.capacity.knn_query_tile
+            exact = bool(opt.knn_exact)
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,
-                         precision=opt.knn_precision, query_tile=qt)
+                         precision=opt.knn_precision, query_tile=qt,
+                         exact=exact)
             sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k,
-                         precision=opt.knn_precision, query_tile=qt)
+                         precision=opt.knn_precision, query_tile=qt,
+                         exact=exact)
 
         line_tgt = res.build_line_targets(
             cd, ci, map_corners.xyz, frame_corners.mask,
