@@ -112,6 +112,13 @@ class OptimizationConfig:
     max_allow_incre_T: float = 100.0 / 50.0
     # LM damping for the GN solver that replaces Ceres.
     lm_init_lambda: float = 1e-4
+    # ICP increment initialization: 0 = identity (the reference's
+    # behavior — every frame's Ceres solve starts at zero increment,
+    # point_cloud_registration.hpp:205-208); 1 = constant-velocity
+    # (seed the increment with the last ACCEPTED increment — the first
+    # correspondence search then happens near the answer, cutting
+    # outer ICP iterations on smooth motion; VERDICT r3 item 5a).
+    increment_init: int = 0
     # LM iterations used for the post-prune full solve (the reference's
     # ceres_maximum_iteration=50 is a cap; Ceres converges in a handful
     # of iterations on this 6-DoF problem — and the outer ICP loop
@@ -133,15 +140,19 @@ class OptimizationConfig:
     # "grid" = 27-bucket grid-hash search (ops.bucket_grid, the
     #   crossover choice beyond ~5·10^5 map points for non-TPU).
     correspondence: str = "auto"
-    # Dense-engine kNN selection: 0 = `lax.approx_min_k` at recall 0.99
-    # (the measured-ATE-neutral default — see ops/knn.py); 1 = exact
-    # `lax.top_k`.  Exact selection is shard-invariant: approx_min_k's
-    # GSPMD-partitioned lowering (per-shard approx + merge) drops a
-    # slightly DIFFERENT ~1% candidate set than the single-device
-    # binned reduction, so the multi-chip equivalence contract
-    # (test_parallel_mode) needs exact selection when the reference
-    # axis is sharded.
-    knn_exact: int = 0
+    # Dense-engine kNN selection: -1 (default) = AUTO — exact top_k
+    # everywhere except single-chip TPU, where `lax.approx_min_k` at
+    # recall 0.99 keeps its hardware-friendly fused lowering (the dense
+    # engine is only the A/B baseline there; the production TPU engine
+    # is Pallas).  0 = approx always, 1 = exact always.
+    # Why exact off-TPU: (a) approx_min_k has no fast CPU lowering —
+    # measured 29.6 s vs 0.65 s/call exact at 2048×65536; (b) exact
+    # selection is shard-invariant — approx_min_k's GSPMD-partitioned
+    # lowering (per-shard approx + merge) drops a slightly DIFFERENT
+    # ~1% candidate set than the single-device binned reduction,
+    # breaking the multi-chip equivalence contract
+    # (test_parallel_mode).
+    knn_exact: int = -1
     # MXU precision of the kNN distance matmul: "high" (3-pass bf16,
     # the default — 29% faster on the dominant 2048×65536 kernel,
     # 0.98 index agreement with full precision; error analysis in
@@ -233,6 +244,13 @@ class ParallelConfig:
     it as collectives."""
     # devices in the 1-D mesh; 1 = single-chip (no sharding)
     mesh_devices: int = 1
+    # Layout-deterministic numerics (docs/multichip.md): -1 AUTO = on
+    # exactly when mesh_devices > 1 (the product multi-chip mode needs
+    # its shard-invariance contract); 0 = off (fastest — lets XLA fuse
+    # and FMA-contract freely); 1 = force on (used by the contract
+    # test's 1-device reference runs so both programs share the
+    # hardened numerics).
+    deterministic: int = -1
     # Frame-group size for batched racing registration
     # (runtime/batched.py) — the TPU-native re-expression of the
     # reference's `common/maximum_parallel_thread` worker pool
@@ -248,6 +266,16 @@ class ParallelConfig:
     # buffer staleness), so pair it with if_motion_deblur=0 /
     # piecewise_number=1 and normal platform dynamics.
     frame_batch: int = 1
+    # Motion staleness guard for batched racing (m per odometry step):
+    # when the last observed per-step translation exceeds this, the
+    # pipeline dispatches the group SEQUENTIALLY instead of racing it —
+    # the lanes' coasted inits and ≤G-frame buffer staleness degrade
+    # exactly when the platform moves fast (the measured largescale
+    # failure: G=3 ATE 0.114→0.72 at 4× platform speed).  0 disables
+    # the guard.  The 0.08 default ≈ 0.8 m/s at 10 Hz — below the
+    # handheld-walking speeds the shipped bags exhibit, above the
+    # per-frame motion where racing was measured ATE-neutral.
+    batch_motion_guard_t: float = 0.08
 
 
 @dataclass(frozen=True)
@@ -426,6 +454,18 @@ def realtime_profile() -> SlamConfig:
             "surround_pointcloud_resolution": 0.5,
         },
     )
+
+
+def realtime_racing_profile() -> SlamConfig:
+    """The realtime profile with its parallelism actually ENABLED the
+    TPU way: the reference's `maximum_parallel_thread: 3` worker racing
+    (``performance_realtime.yaml:3``, ``laser_mapping.hpp:1737-1742``)
+    re-expressed as `parallel/frame_batch = 3` — three raw frames'
+    piecewise registrations race in one vmapped dispatch against the
+    shared matching buffer and commit in time order, with the motion
+    staleness guard (`parallel/batch_motion_guard_t`) falling back to
+    sequential dispatch when the platform moves fast."""
+    return realtime_profile().replace(parallel={"frame_batch": 3})
 
 
 def largescale_profile() -> SlamConfig:

@@ -63,7 +63,8 @@ def measure_scaling(
         # Identical per-element work to the sharded path: HIGHEST-precision
         # einsums for JᵀWJ / JᵀWr plus the cost scalar the psum variant
         # also reduces — so sharded@1 / plain is a true overhead ratio.
-        d, i = knn(q, ref, mask, k=k)
+        d, i = knn(q, ref, mask, k=k,
+                   exact=jax.default_backend() != "tpu")
         Jf = J.reshape(-1, 6)
         wf = jnp.repeat(w, 3)
         rf = r.reshape(-1)

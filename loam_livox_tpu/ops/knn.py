@@ -23,7 +23,7 @@ BIG = jnp.float32(1e30)
 
 
 @partial(jax.jit, static_argnames=("k", "query_tile", "exact", "recall",
-                                   "precision"))
+                                   "precision", "deterministic"))
 def knn(
     query_xyz: jax.Array,
     ref_xyz: jax.Array,
@@ -33,6 +33,7 @@ def knn(
     exact: bool = False,
     recall: float = 0.99,
     precision: str = "highest",
+    deterministic: bool = False,
 ):
     """k smallest squared distances from each query to the masked refs.
 
@@ -78,17 +79,38 @@ def knn(
     qs = q.reshape(n_chunks, query_tile, 3)
 
     ref = ref_xyz.astype(jnp.float32)
-    ref2 = jnp.sum(ref * ref, axis=-1) + jnp.where(ref_mask, 0.0, BIG)  # (M,)
+
+    def _sq3(x):
+        # deterministic=True: ‖·‖² with materialized products +
+        # explicit adds — bit-identical under any sharding of the
+        # leading axis (FMA contraction in a fused mul+reduce differs
+        # between partitioned and whole-array loops on XLA:CPU —
+        # ulp-level d noise flips near-tie neighbor selections,
+        # breaking the multi-chip equivalence contract;
+        # docs/multichip.md)
+        if not deterministic:
+            return jnp.sum(x * x, axis=-1)
+        p = lax.optimization_barrier(x * x)
+        return (p[..., 0] + p[..., 1]) + p[..., 2]
+
+    ref2 = _sq3(ref) + jnp.where(ref_mask, 0.0, BIG)  # (M,)
 
     def step(_, qc):
-        q2 = jnp.sum(qc * qc, axis=-1, keepdims=True)      # (qt, 1)
+        q2 = _sq3(qc)[:, None]                             # (qt, 1)
         cross = lax.dot_general(
             qc, ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=(lax.Precision.HIGHEST if precision == "highest"
                        else lax.Precision.HIGH),
         )                                                   # (qt, M)
-        d = q2 + ref2[None, :] - 2.0 * cross
+        if deterministic:
+            # barrier the scaled cross term: `a - 2c` would otherwise
+            # fuse mul+sub into an FMA with a layout-dependent
+            # contraction choice
+            cross2 = lax.optimization_barrier(2.0 * cross)
+            d = (q2 + ref2[None, :]) - cross2
+        else:
+            d = q2 + ref2[None, :] - 2.0 * cross
         if exact or m <= 2 * k:
             neg, idx = lax.top_k(-d, k)
             vals = -neg

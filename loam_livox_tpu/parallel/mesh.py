@@ -25,6 +25,67 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis,))
 
 
+# ---- active product mesh (trace-time) --------------------------------------
+#
+# The pipeline registers its mesh here before dispatching jitted work so
+# pure library code (registration/icp.py) can pin the SOLVER CHAIN to a
+# replicated layout at trace time.  Why: the shard-invariance contract
+# (tests/test_parallel_mode.py — sharded trajectory ≡ 1-device) demands
+# bit-identical gate scalars, and XLA:CPU emits different FMA
+# contractions for partitioned vs whole-array elementwise loops (rare
+# 1-ulp flips that the iteration-capped ICP amplifies into gate flips;
+# docs/multichip.md).  Pinning the small per-frame solver chain
+# replicated makes both programs run whole-array code — the heavy map
+# search (kNN over the sharded reference axis) stays distributed.
+_ACTIVE_MESH: list = [None]
+_DETERMINISTIC: list = [False]
+
+
+def set_active_mesh(mesh: Optional[Mesh],
+                    deterministic: Optional[bool] = None) -> None:
+    """Register the product mesh (or None) and the layout-deterministic
+    numerics flag.  `deterministic=None` follows the mesh (AUTO)."""
+    _ACTIVE_MESH[0] = mesh
+    _DETERMINISTIC[0] = (mesh is not None if deterministic is None
+                         else bool(deterministic))
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH[0]
+
+
+def det_active() -> bool:
+    """Trace-time flag: harden numerics for layout determinism?  On in
+    the product mesh mode (and when parallel/deterministic forces it);
+    off in the single-chip default, where XLA may fuse and
+    FMA-contract freely for speed."""
+    return _DETERMINISTIC[0]
+
+
+def det_barrier(tree):
+    """`lax.optimization_barrier` in deterministic mode, identity
+    otherwise.  Read at TRACE time — callers' traces are keyed by a
+    cfg that carries parallel.mesh_devices/deterministic, and the
+    pipeline re-registers the flag before every dispatch."""
+    if not _DETERMINISTIC[0]:
+        return tree
+    return jax.lax.optimization_barrier(tree)
+
+
+def pin_replicated(tree):
+    """Constrain every array in `tree` to REPLICATED on the active
+    product mesh (identity when no mesh is registered).  Call inside
+    jit, at trace time."""
+    mesh = _ACTIVE_MESH[0]
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Mesh:

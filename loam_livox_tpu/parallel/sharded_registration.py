@@ -61,7 +61,8 @@ def sharded_gn_iteration(
         pw = res.transform_points_incre(
             q_incre, t_incre, fx, jnp.ones(fx.shape[0]), q_last, t_last,
             deblur=False)
-        sd, si = knn(pw, mx, mm, k=k)
+        sd, si = knn(pw, mx, mm, k=k,
+                     exact=jax.default_backend() != "tpu")
         tgt = res.build_plane_targets(sd, si, mx, fm, max_dis_sq)
         r = res.plane_residuals(q_incre, t_incre, fx,
                                 jnp.ones(fx.shape[0]), tgt,

@@ -46,59 +46,75 @@ class SolveInfo(NamedTuple):
     n_blocks: jax.Array
 
 
-# Fixed reduction-tree fan-out for the residual-axis sums.  The
-# SHARD-INVARIANCE contract of the product multi-chip mode
-# (parallel/mesh_devices — tests/test_parallel_mode.py asserts the
-# sharded trajectory EQUALS the 1-device one) requires the solver's
-# float reductions to produce bit-identical results however the
-# residual axis is laid out: under GSPMD a plain `jnp.sum`/einsum over
-# a sharded axis becomes per-shard partials + an all-reduce, a
-# DIFFERENT float summation order than the single-device reduce —
-# enough noise (~1e-7 relative) to flip accept gates on marginal
-# frames and cascade through the freeze-on-reject policy (measured:
-# 9.5 cm trajectory divergence by frame 15 of the equivalence test).
-# Reducing in _REDUCE_BLOCKS fixed blocks with an explicitly ordered
-# partial-sum chain pins the grouping in BOTH layouts: each block is
-# one device's local reduction on the mesh (block = shard when
-# mesh_devices == _REDUCE_BLOCKS, a sub-shard split otherwise), and
-# the final chain of _REDUCE_BLOCKS adds runs replicated in program
-# order.  Meshes larger than _REDUCE_BLOCKS devices would regroup the
-# intra-block partials again — keep it ≥ the largest product mesh.
-_REDUCE_BLOCKS = 8
-
-
-def _blocked(x: jax.Array):
-    """Pad the leading axis to a multiple of _REDUCE_BLOCKS and reshape
-    to (_REDUCE_BLOCKS, n_pad // _REDUCE_BLOCKS, ...)."""
-    n = x.shape[0]
-    pad = (-n) % _REDUCE_BLOCKS
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x.reshape((_REDUCE_BLOCKS, (n + pad) // _REDUCE_BLOCKS)
-                     + x.shape[1:])
-
-
-def _chain_sum(partials: jax.Array) -> jax.Array:
-    """Sum the (_REDUCE_BLOCKS, ...) partials in explicit program
-    order — a fixed add chain XLA does not reassociate, identical in
-    sharded and unsharded lowerings (unlike a reduce op, whose
-    partitioned grouping GSPMD chooses)."""
-    acc = partials[0]
-    for b in range(1, _REDUCE_BLOCKS):
-        acc = acc + partials[b]
-    return acc
+# SHARD-INVARIANCE of the residual-axis sums.  The contract of the
+# product multi-chip mode (parallel/mesh_devices —
+# tests/test_parallel_mode.py asserts the sharded trajectory EQUALS
+# the 1-device one) requires the solver's float reductions to produce
+# bit-identical results however the residual axis is laid out: under
+# GSPMD a plain `jnp.sum`/einsum over a sharded axis becomes per-shard
+# partials + an all-reduce, a DIFFERENT float summation order than the
+# single-device reduce — enough noise (~1e-7 relative) to flip accept
+# gates on marginal frames and cascade through the freeze-on-reject
+# policy (measured: 9.5 cm trajectory divergence by frame 15 of the
+# equivalence test).  `shard_invariant_sum` below reduces by explicit
+# pairwise halving of barrier-materialized halves — pure elementwise
+# adds with fixed operand pairing, bit-identical under any layout
+# (full forensics: docs/multichip.md).
 
 
 def shard_invariant_sum(x: jax.Array) -> jax.Array:
-    """Bit-deterministic sum over the leading axis, invariant to how
-    that axis is sharded (see _REDUCE_BLOCKS)."""
-    return _chain_sum(jnp.sum(_blocked(x), axis=1))
+    """Sum over the leading axis.  In layout-deterministic mode
+    (parallel/mesh.py::det_active — the product mesh mode), reduce by
+    explicit pairwise halving of barrier-materialized halves: pure
+    adds cannot be FMA-contracted and pair the SAME operands in every
+    layout, so the result is bit-identical under any GSPMD
+    partitioning.  Reduce ops and einsums are NOT: XLA picks a
+    layout-dependent accumulation structure (fixed-block sliced
+    einsums with operand barriers still differed by ~4e-9 on a 6×6
+    system between the partitioned and whole-array programs — enough
+    to flip acceptance gates through the iteration-capped ICP's
+    chaotic amplification; forensics in docs/multichip.md).
+
+    In the single-chip default, a plain reduce — fully fusable."""
+    from ..parallel.mesh import det_active
+
+    if not det_active():
+        return jnp.sum(x, axis=0)
+    n = x.shape[0]
+    p = 1 << max(n - 1, 0).bit_length()
+    if p != n:
+        x = jnp.pad(x, ((0, p - n),) + ((0, 0),) * (x.ndim - 1))
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = lax.optimization_barrier(x[:h] + x[h:])
+    return x[0]
+
+
+def _sq_norm(r: jax.Array) -> jax.Array:
+    """‖r‖² over the last axis.  In layout-deterministic mode the
+    products are materialized behind a barrier and summed by an
+    explicit add chain, so LLVM cannot FMA-contract the mul into the
+    adds — the contraction choice was measured to DIFFER between the
+    partitioned and whole-array elementwise loops on XLA:CPU (a noise
+    leak into the Huber weights; docs/multichip.md)."""
+    from ..parallel.mesh import det_active
+
+    if not det_active():
+        return jnp.sum(r * r, axis=-1)
+    rr = lax.optimization_barrier(r * r)
+    s = rr[..., 0]
+    for i in range(1, r.shape[-1]):
+        s = s + rr[..., i]
+    return s
 
 
 def _cost(r: jax.Array, mask: jax.Array, delta: float) -> jax.Array:
     """Ceres-style total cost: 0.5 Σ ρ(‖r_block‖²) over valid blocks."""
-    s = jnp.sum(r * r, axis=-1)
-    return 0.5 * shard_invariant_sum(jnp.where(mask, huber_rho(s, delta), 0.0))
+    from ..parallel.mesh import det_barrier, pin_replicated
+
+    s = _sq_norm(r)
+    terms = det_barrier(jnp.where(mask, huber_rho(s, delta), 0.0))
+    return pin_replicated(0.5 * shard_invariant_sum(terms))
 
 
 def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
@@ -108,17 +124,37 @@ def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
     a previous pass can re-reduce under a different block mask (the
     inlier prune changes only the mask, not the evaluation point).
     Reductions over the residual axis use the fixed-block scheme (see
-    _REDUCE_BLOCKS) so the result is independent of the axis sharding."""
-    s = jnp.sum(r0 * r0, axis=-1)
+    shard_invariant_sum) so the result is independent of the axis
+    sharding."""
+    from ..parallel.mesh import det_active, pin_replicated
+
+    s = _sq_norm(r0)
     w = jnp.where(mask, huber_weight(s, delta), 0.0)
     sw = jnp.sqrt(w)
-    rw = r0 * sw[:, None]
-    Jw = J * sw[:, None, None]
-    Hp = jnp.einsum("bnij,bnik->bjk", _blocked(Jw), _blocked(Jw),
-                    precision=lax.Precision.HIGHEST)
-    gp = jnp.einsum("bnij,bni->bj", _blocked(Jw), _blocked(rw),
-                    precision=lax.Precision.HIGHEST)
-    return _chain_sum(Hp), _chain_sum(gp)
+    if not det_active():
+        # single-chip fast path: one fused einsum pair on the MXU
+        rw = r0 * sw[:, None]
+        Jw = J * sw[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, Jw,
+                       precision=lax.Precision.HIGHEST)
+        g = jnp.einsum("nij,ni->j", Jw, rw,
+                       precision=lax.Precision.HIGHEST)
+        return H, g
+    # Layout-deterministic mode: no einsum/reduce on this path —
+    # materialize the weighted operands and per-block outer products,
+    # collapse the 3 residual components by explicit adds, then
+    # tree-sum over blocks — every step is an elementwise op that
+    # lowers bit-identically under any layout (see shard_invariant_sum).
+    rw, Jw = lax.optimization_barrier(
+        (r0 * sw[:, None], J * sw[:, None, None]))
+    P = lax.optimization_barrier(
+        Jw[:, :, :, None] * Jw[:, :, None, :])      # (N, 3, 6, 6)
+    G = lax.optimization_barrier(Jw * rw[:, :, None])  # (N, 3, 6)
+    Pn = (P[:, 0] + P[:, 1]) + P[:, 2]
+    Gn = (G[:, 0] + G[:, 1]) + G[:, 2]
+    H = shard_invariant_sum(Pn)
+    g = shard_invariant_sum(Gn)
+    return pin_replicated((H, g))
 
 
 def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,
@@ -136,6 +172,22 @@ def _normal_system(f: ResidualFn, q: jax.Array, t: jax.Array, delta: float,
         zero = jnp.zeros(6, q.dtype)
         r0, mask = f(q, t)
         J = jax.jacfwd(res_of_delta)(zero)          # (N, 3, 6)
+    # Materialize the residuals/Jacobian ONCE here: without the
+    # barrier, XLA clones the producer chain into each consumer fusion
+    # (the H/g reduction, the cost sum), where the partitioned and
+    # whole-array lowerings contract FMA chains differently — measured
+    # as a ~1e-8 H/g divergence between the sharded and unsharded
+    # programs from bit-identical inputs.  One materialization = one
+    # set of bits for every consumer in both layouts (the
+    # shard-invariance contract of the product mesh mode).
+    # under a product mesh, materialize and pin the residual/Jacobian
+    # replicated so the solver chain lowers whole-array in every layout
+    # (GSPMD may otherwise shard intermediate elementwise chains even
+    # when their inputs are replicated — parallel/mesh.py)
+    from ..parallel.mesh import det_barrier, pin_replicated
+
+    r0, J = det_barrier((r0, J))
+    r0, J, mask = pin_replicated((r0, J, mask))
     H, g = _system_from_rJ(r0, J, mask, delta)
     return H, g, r0, J, mask
 
@@ -147,7 +199,9 @@ def _solve_damped(H: jax.Array, g: jax.Array, lam: jax.Array) -> jax.Array:
     Hs = damped * d[:, None] * d[None, :]
     gs = g * d
     y = jnp.linalg.solve(Hs, -gs)
-    return y * d
+    from ..parallel.mesh import pin_replicated
+
+    return pin_replicated(y * d)
 
 
 class LMState(NamedTuple):
@@ -191,10 +245,13 @@ def lm_solve(
     tmax = opt.max_allow_incre_T
 
     def step(state: LMState, _):
+        from ..parallel.mesh import pin_replicated
+
         dd = _solve_damped(state.H, state.g, state.lam)
         q_new = se3.quat_normalize(
             se3.quat_multiply(se3.quat_exp(dd[:3]), state.q))
         t_new = jnp.clip(state.t + dd[3:], -tmax, tmax)
+        q_new, t_new = pin_replicated((q_new, t_new))
         H_new, g_new, r_new, J_new, m_new = _normal_system(
             f, q_new, t_new, delta, fj)
         c_new = _cost(r_new, m_new, delta)
@@ -257,7 +314,7 @@ def solve_two_phase(
     # block MASK, so the full solve's initial system is a re-reduction
     # of the carried (r, J), not a new evaluation pass.
     r = pre.r
-    s = jnp.sum(r * r, axis=-1)
+    s = _sq_norm(r)   # layout-deterministic: the prune MASK is decision
     rc = r * jnp.sqrt(huber_weight(s, opt.huber_delta))[:, None]
     l1 = jnp.sum(jnp.abs(rc), axis=-1)
     thr = jnp.maximum(

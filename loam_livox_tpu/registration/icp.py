@@ -116,6 +116,8 @@ def register_frame(
     cfg: SlamConfig,
     grid_corners: BucketGrid | None = None,
     grid_surface: BucketGrid | None = None,
+    q_incre_init: jax.Array | None = None,
+    t_incre_init: jax.Array | None = None,
 ) -> RegistrationResult:
     """Register one feature frame against the map; returns the composed
     world pose and quality metrics.
@@ -179,14 +181,30 @@ def register_frame(
                                k=plane_k, ref4=ref4_s,
                                query_count=n_q_surf)
         else:
+            from ..parallel.mesh import det_active
+
             qt = cfg.capacity.knn_query_tile
-            exact = bool(opt.knn_exact)
+            exact = (jax.default_backend() != "tpu"
+                     if opt.knn_exact < 0 else bool(opt.knn_exact))
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,
                          precision=opt.knn_precision, query_tile=qt,
-                         exact=exact)
+                         exact=exact, deterministic=det_active())
             sd, si = knn(qs, map_surface.xyz, map_surface.mask, k=plane_k,
                          precision=opt.knn_precision, query_tile=qt,
-                         exact=exact)
+                         exact=exact, deterministic=det_active())
+
+        # Product mesh mode: the map search above runs over the SHARDED
+        # reference axis; everything downstream (targets → residuals →
+        # solve → gates) is small per-frame work that must be pinned
+        # REPLICATED so both the sharded and 1-device programs run
+        # whole-array elementwise code — partitioned loops FMA-contract
+        # differently on XLA:CPU, and the rare 1-ulp flips amplify
+        # through the iteration-capped ICP into acceptance-gate flips
+        # (the shard-invariance contract; parallel/mesh.py,
+        # docs/multichip.md).
+        from ..parallel.mesh import pin_replicated
+
+        cd, ci, sd, si = pin_replicated((cd, ci, sd, si))
 
         line_tgt = res.build_line_targets(
             cd, ci, map_corners.xyz, frame_corners.mask,
@@ -194,6 +212,7 @@ def register_frame(
         plane_tgt = res.build_plane_targets(
             sd, si, map_surface.xyz, frame_surface.mask,
             opt.maximum_dis_plane_for_match)
+        line_tgt, plane_tgt = pin_replicated((line_tgt, plane_tgt))
 
         base_mask = jnp.concatenate([line_tgt.valid, plane_tgt.valid])
 
@@ -263,11 +282,21 @@ def register_frame(
             rng=rng,
         )
 
+    # Increment seed: identity (the reference's per-frame zero start,
+    # :205-208) or the caller-provided constant-velocity prediction
+    # (optimization.increment_init=1) — the first correspondence search
+    # then runs near the answer, cutting outer iterations.
+    if (cfg.optimization.increment_init == 1
+            and q_incre_init is not None and t_incre_init is not None):
+        q0_incre, t0_incre = q_incre_init, t_incre_init
+    else:
+        q0_incre = se3.quat_identity()
+        t0_incre = jnp.zeros(3, jnp.float32)
     init = ICPState(
-        q_incre=se3.quat_identity(),
-        t_incre=jnp.zeros(3, jnp.float32),
-        q_last_opt=se3.quat_identity(),
-        t_last_opt=jnp.zeros(3, jnp.float32),
+        q_incre=q0_incre,
+        t_incre=t0_incre,
+        q_last_opt=q0_incre,
+        t_last_opt=t0_incre,
         active=run,
         final_cost=jnp.float32(0.0),
         initial_cost=jnp.float32(0.0),

@@ -53,8 +53,12 @@ def build_line_targets(
 ) -> LineTargets:
     """From 5-NN results: target line through the two nearest map points
     (reference: point_cloud_registration.hpp:300-303)."""
-    a = map_xyz[idx[:, 0]]
-    b = map_xyz[idx[:, 1]]
+    from ..parallel.mesh import pin_replicated
+
+    # pin the gathered neighbors replicated under a product mesh: the
+    # target math below must lower whole-array in every layout (the
+    # shard-invariance contract; parallel/mesh.py)
+    a, b = pin_replicated((map_xyz[idx[:, 0]], map_xyz[idx[:, 1]]))
     ab = b - a
     norm = jnp.linalg.norm(ab, axis=-1, keepdims=True)
     valid = (
@@ -75,10 +79,12 @@ def build_plane_targets(
 ) -> PlaneTargets:
     """From k-NN results: plane through neighbors [0, k//2, k-1]
     (reference: point_cloud_registration.hpp:401-420)."""
+    from ..parallel.mesh import pin_replicated
+
     k = idx.shape[1]
-    a = map_xyz[idx[:, 0]]
-    b = map_xyz[idx[:, k // 2]]
-    c = map_xyz[idx[:, k - 1]]
+    # see build_line_targets: replicated neighbor gathers under a mesh
+    a, b, c = pin_replicated((map_xyz[idx[:, 0]], map_xyz[idx[:, k // 2]],
+                              map_xyz[idx[:, k - 1]]))
     uab = (b - a) / jnp.maximum(jnp.linalg.norm(b - a, axis=-1, keepdims=True), 1e-12)
     uac = (c - a) / jnp.maximum(jnp.linalg.norm(c - a, axis=-1, keepdims=True), 1e-12)
     n = jnp.cross(uab, uac)  # deliberately NOT re-normalized (see module doc)
@@ -99,14 +105,39 @@ def transform_points_incre(
 
     With deblur off, s is ignored and the full increment applies
     (reference ceres_icp.hpp:275, 350)."""
+    from ..parallel.mesh import det_barrier, pin_replicated
+
     if deblur:
         q_s = se3.quat_slerp_identity(q_incre, s)          # (N, 4)
         t_s = t_incre[None, :] * s[:, None]
+        q_s = det_barrier(pin_replicated(q_s))
     else:
         q_s = q_incre
         t_s = t_incre
-    local = se3.quat_rotate(q_s, pts) + t_s
-    return se3.quat_rotate(q_last, local) + t_last
+    local = det_barrier(pin_replicated(se3.quat_rotate(q_s, pts) + t_s))
+    # Materialize (and pin replicated) under the product mesh mode: the
+    # transformed points feed every residual/Jacobian consumer; one set
+    # of bits for all of them in every layout (the shard-invariance
+    # contract — the fused producer chain otherwise lowers with
+    # layout-dependent FMA contraction; docs/multichip.md)
+    return det_barrier(
+        pin_replicated(se3.quat_rotate(q_last, local) + t_last))
+
+
+def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Keep-dims dot over the last (3-wide) axis.  In
+    layout-deterministic mode (parallel/mesh.py::det_active): products
+    materialized behind a barrier, explicit add chain — no FMA
+    contraction for the compiler to choose differently per layout (the
+    shard-invariance contract; see gauss_newton._sq_norm)."""
+    from ..parallel.mesh import det_active
+
+    if not det_active():
+        return jnp.sum(a * b, axis=-1, keepdims=True)
+    from jax import lax
+
+    p = lax.optimization_barrier(a * b)
+    return (p[..., 0:1] + p[..., 1:2]) + p[..., 2:3]
 
 
 def line_residuals(
@@ -114,9 +145,14 @@ def line_residuals(
 ) -> jax.Array:
     """(N, 3) rejection of (pt_w − a) from the line direction
     (reference ceres_icp.hpp:126-131)."""
+    from ..parallel.mesh import det_barrier
+
     pw = transform_points_incre(q_incre, t_incre, pts, s, q_last, t_last, deblur)
     ac = pw - tgt.a
-    proj = jnp.sum(ac * tgt.unit_ab, axis=-1, keepdims=True) * tgt.unit_ab
+    # barrier the projection in deterministic mode: `ac - proj` would
+    # otherwise fuse the mul into the sub (FMA) with a
+    # layout-dependent contraction choice
+    proj = det_barrier(_dot3(ac, tgt.unit_ab) * tgt.unit_ab)
     return ac - proj
 
 
@@ -127,7 +163,7 @@ def plane_residuals(
     (reference ceres_icp.hpp:207-212)."""
     pw = transform_points_incre(q_incre, t_incre, pts, s, q_last, t_last, deblur)
     ad = pw - tgt.a
-    return jnp.sum(ad * tgt.normal, axis=-1, keepdims=True) * tgt.normal
+    return _dot3(ad, tgt.normal) * tgt.normal
 
 
 def _skew(v: jax.Array) -> jax.Array:

@@ -249,6 +249,8 @@ def odometry_step(
         enabled, reg_key, cfg,
         grid_corners=state.grid_corners,
         grid_surface=state.grid_surface,
+        q_incre_init=state.last_q_incre,
+        t_incre_init=state.last_t_incre,
     )
     state = state._replace(rng=rng)
     return commit_frame(state, frame, corner_in, surf_in, reg,

@@ -43,9 +43,12 @@ def main():
         mapping={"init_accumulate_frames": 6},
         optimization=opt,
     )
+    cfg8 = cfg.replace(parallel={"mesh_devices": 8})
     ramp = 0.1 * cfg.mapping.init_accumulate_frames + 0.2
-    sim = LivoxSimulator(SimConfig(points_per_frame=3072, seed=3),
-                         traj=Trajectory(ramp_t0=ramp))
+    sim = LivoxSimulator(
+        SimConfig(points_per_frame=3072,
+                  seed=int(os.environ.get("SEED", "3"))),
+        traj=Trajectory(ramp_t0=ramp))
     caps = cfg.capacity
     mesh = make_mesh(8)
     s1 = init_state(cfg)
@@ -65,8 +68,12 @@ def main():
         pts[:k], it[:k], m[:k] = xyz[:k], inten[:k], True
         inputs = (jnp.asarray(pts), jnp.asarray(it), jnp.asarray(m),
                   jnp.float32(t0))
+        from loam_livox_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(None, deterministic=True)
         s1, r1, _ = process_raw_frame(s1, *inputs, cfg, piecewise_number=1)
-        s8, r8, _ = process_raw_frame(s8, *replicate(inputs, mesh), cfg,
+        set_active_mesh(mesh, deterministic=True)
+        s8, r8, _ = process_raw_frame(s8, *replicate(inputs, mesh), cfg8,
                                       piecewise_number=1)
         a, b = leaves(s1), leaves(s8)
         bad = []

@@ -39,14 +39,23 @@ def _host_fingerprint() -> str:
     import hashlib
     import platform
 
-    tokens = [platform.machine(), platform.processor()]
+    tokens = [platform.machine(), platform.processor(), jax.__version__]
     try:
+        # FULL cpuinfo (round-4 postmortem: hashing only the flags +
+        # model-name lines collided across driver VMs)
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "model name")):
-                    tokens.append(line.strip())
-                    if len(tokens) > 4:
-                        break
+            tokens.append(f.read())
+    except OSError:
+        pass
+    try:
+        # ... and even full cpuinfo collides: the VMs expose an
+        # identical cpuinfo TEMPLATE while their actual CPUID features
+        # differ (XLA's cpu_aot_loader kept loading foreign-machine
+        # entries).  boot_id keys the cache per VM boot — cold cache
+        # per boot, but cross-machine AOT code can never mix into a
+        # numeric test run.
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            tokens.append(f.read())
     except OSError:
         pass
     return hashlib.sha256("|".join(tokens).encode()).hexdigest()[:16]
@@ -62,6 +71,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """The product pipeline registers its mesh in a trace-time global
+    (parallel/mesh.py::set_active_mesh) so library code can pin the
+    solver chain replicated.  Clear it between tests so a mesh test
+    cannot leak replication constraints into an unrelated test's fresh
+    traces."""
+    from loam_livox_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)
+    yield
+    set_active_mesh(None)
 
 
 @pytest.fixture(scope="session")
