@@ -59,6 +59,45 @@ def bench_config(cfg, raw, warmup, n_frames):
     return n_frames / wall
 
 
+def bench_config_racing(cfg, raw, warmup, n_frames):
+    """Time the batched racing program (`parallel/frame_batch` — the
+    reference's maximum_parallel_thread worker racing re-expressed as
+    one vmapped dispatch, runtime/batched.py): G raw frames × P
+    piecewise windows register as G·P racing lanes per dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from loam_livox_tpu.runtime.odometry import init_state
+    from loam_livox_tpu.runtime.pipeline import process_raw_frames_batched
+
+    G = cfg.parallel.frame_batch
+    pieces = (1 if cfg.common.if_motion_deblur
+              else cfg.common.piecewise_number)
+    state = init_state(cfg)
+
+    def stack(group):
+        return (jnp.stack([g[0] for g in group]),
+                jnp.stack([g[1] for g in group]),
+                jnp.stack([g[2] for g in group]),
+                jnp.stack([jnp.asarray(g[3]) for g in group]))
+
+    groups = [raw[i:i + G] for i in range(0, warmup + n_frames, G)]
+    groups = [g for g in groups if len(g) == G]
+    warm_groups = max(1, warmup // G)
+    for g in groups[:warm_groups]:
+        state, _, _ = process_raw_frames_batched(
+            state, *stack(g), cfg, G, pieces=pieces)
+    jax.block_until_ready(state)
+
+    t_start = time.perf_counter()
+    for g in groups[warm_groups:]:
+        state, _, _ = process_raw_frames_batched(
+            state, *stack(g), cfg, G, pieces=pieces)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+    return G * len(groups[warm_groups:]) / wall
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,6 +116,7 @@ def main():
         SlamConfig,
         precision_profile,
         realtime_profile,
+        realtime_racing_profile,
     )
     from loam_livox_tpu.io.simulator import LivoxSimulator, SimConfig
 
@@ -104,6 +144,8 @@ def main():
                             raw, warmup, n_frames)
     fps_rt = bench_config(realtime_profile().replace(**accel),
                           raw, warmup, n_frames)
+    fps_rt_racing = bench_config_racing(
+        realtime_racing_profile().replace(**accel), raw, warmup, n_frames)
 
     print(json.dumps({
         "metric": "odometry_fps",
@@ -112,6 +154,7 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
         "shipped_precision_fps": round(fps_prec, 3),
         "shipped_realtime_fps": round(fps_rt, 3),
+        "realtime_racing_fps": round(fps_rt_racing, 3),
     }))
 
 

@@ -38,13 +38,20 @@ from .odometry import OdometryState, commit_frame, input_downsample
 @partial(jax.jit, static_argnames=("cfg", "group"))
 def odometry_step_batched(
     state: OdometryState,
-    frames: FeatureFrame,          # G-leading pytree
+    frames: FeatureFrame,          # G-leading pytree (G = raw frames × pieces)
     cfg: SlamConfig,
     group: int,
 ) -> Tuple[OdometryState, RegistrationResult]:
     """Register `group` feature frames in one vmapped solve against the
     current matching buffer, then commit them in timestamp order.
-    Returns (state, G-leading RegistrationResult)."""
+    Returns (state, G-leading RegistrationResult).
+
+    With piecewise splitting active, the caller passes the G·P piece
+    frames in time order as `group` lanes — each lane is one piecewise
+    registration, so the racing semantics match the reference's
+    realtime mode (threads=3 over piecewise-3 frames,
+    ``performance_realtime.yaml:3`` + ``laser_feature_extractor.hpp:
+    141-142``)."""
     # worker-start poses: constant-velocity coast of the batch-entry
     # pose (the racing workers start from the then-current pose, which
     # trails frame k by up to k frames)

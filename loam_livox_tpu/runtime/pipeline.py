@@ -107,6 +107,8 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
         bounds = bounds[:1]
 
     def piece_step(st, lohi):
+        from ..parallel.mesh import pin_replicated
+
         piece = select_features(pts, info, n_petals, lohi[0], lohi[1],
                                 fe, caps)
         piece = piece._replace(
@@ -116,6 +118,9 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
                                      fe.mapping_plane_resolution / 2.0,
                                      capacity=caps.max_surface),
         )
+        # product mesh: the per-frame feature arrays must lower
+        # whole-array in every layout (shard-invariance contract)
+        piece = pin_replicated(piece)
         st, reg = odometry_step(st, piece, cfg)
         return st, (reg, piece.time_min)
 
@@ -125,16 +130,22 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
     return state, last_reg, poses
 
 
-@partial(jax.jit, static_argnames=("cfg", "group"))
+@partial(jax.jit, static_argnames=("cfg", "group", "pieces"))
 def process_raw_frames_batched(state, pts, inten, mask, t0s,
-                               cfg: SlamConfig, group: int):
+                               cfg: SlamConfig, group: int,
+                               pieces: int = 1):
     """Fused batched program: G raw frames → vmapped front end →
-    batched racing registration (`runtime.batched`) → G commits.
-    Requires an effective piecewise count of 1 (deblur on, or
-    piecewise_number 1 — the realtime configurations).
+    batched racing registration (`runtime.batched`) over G·pieces
+    lanes → commits in time order.
+
+    With ``pieces > 1`` (deblur off + piecewise_number > 1 — the
+    SHIPPED realtime configuration) every raw frame contributes its
+    `pieces` piecewise windows as consecutive racing lanes, matching
+    the reference's threads=3-over-piecewise-3 realtime mode.
 
     pts (G, N, 3), inten (G, N), mask (G, N), t0s (G,).
-    Returns (state, (q_w, t_w, accepted, time_min) with leading dim G).
+    Returns (state, regs, (q_w, t_w, accepted, time_min) with leading
+    dim G·pieces, time-ordered).
     """
     from ..frontend.livox import extract_point_info, select_features
     from .batched import odometry_step_batched
@@ -142,20 +153,33 @@ def process_raw_frames_batched(state, pts, inten, mask, t0s,
     fe = cfg.feature_extraction
     caps = cfg.capacity
 
-    def extract_one(p, it, m, t0):
+    def extract_pieces(p, it, m, t0):
         info, n_petals = extract_point_info(p, it, m, t0, fe, caps)
-        fr = select_features(p, info, n_petals, 0.0, 1.0, fe, caps)
-        return fr._replace(
-            corners=voxel_downsample(fr.corners, fe.mapping_line_resolution,
-                                     capacity=caps.max_corner),
-            surface=voxel_downsample(fr.surface,
-                                     fe.mapping_plane_resolution / 2.0,
-                                     capacity=caps.max_surface),
-        )
 
-    frames = jax.vmap(extract_one)(pts, inten, mask,
-                                   t0s.astype(jnp.float32))
-    state, regs = odometry_step_batched(state, frames, cfg, group)
+        def one(lo, hi):
+            fr = select_features(p, info, n_petals, lo, hi, fe, caps)
+            return fr._replace(
+                corners=voxel_downsample(fr.corners,
+                                         fe.mapping_line_resolution,
+                                         capacity=caps.max_corner),
+                surface=voxel_downsample(fr.surface,
+                                         fe.mapping_plane_resolution / 2.0,
+                                         capacity=caps.max_surface),
+            )
+
+        return [one(q / pieces, (q + 1) / pieces) for q in range(pieces)]
+
+    per_piece = jax.vmap(extract_pieces)(pts, inten, mask,
+                                         t0s.astype(jnp.float32))
+    if pieces == 1:
+        frames = per_piece[0]
+    else:
+        # interleave to time order: lane k*pieces + q = frame k, piece q
+        frames = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=1).reshape(
+                (group * pieces,) + xs[0].shape[1:]),
+            *per_piece)
+    state, regs = odometry_step_batched(state, frames, cfg, group * pieces)
     poses = (regs.q_w, regs.t_w, regs.accepted, frames.time_min)
     return state, regs, poses
 
@@ -219,14 +243,20 @@ class OdometryPipeline:
         # vmapped dispatch (runtime/batched.py — the reference's
         # maximum_parallel_thread worker pool re-expressed on-device).
         self.frame_batch = max(1, int(cfg.parallel.frame_batch))
-        if self.frame_batch > 1:
-            pieces = (1 if cfg.common.if_motion_deblur
-                      else cfg.common.piecewise_number)
-            if pieces != 1:
-                raise ValueError(
-                    "parallel/frame_batch > 1 requires an effective "
-                    "piecewise count of 1 (deblur on, or "
-                    "common/piecewise_number = 1)")
+        self._batch_pieces = (1 if cfg.common.if_motion_deblur
+                              else max(1, cfg.common.piecewise_number))
+        if (self.frame_batch > 1 and self._batch_pieces > 1
+                and cfg.common.odom_mode == 0):
+            raise ValueError(
+                "parallel/frame_batch > 1 with piecewise > 1 requires "
+                "common/odom_mode = 1 (odometry mode publishes only "
+                "piece 0, which the batched lanes do not model)")
+        # Motion staleness guard (parallel/batch_motion_guard_t): when
+        # the last observed per-step translation exceeds the threshold,
+        # dispatch the group SEQUENTIALLY — the racing lanes' coasted
+        # inits and ≤G-frame buffer staleness degrade exactly when the
+        # platform moves fast (the measured largescale failure mode).
+        self._last_motion = 0.0
         self._batch_buf: List = []
         self._pcd_dir = None
         if cfg.common.if_save_to_pcd_files:
@@ -242,6 +272,17 @@ class OdometryPipeline:
         results are observed up to depth frames later; call `flush()`
         before reading the trajectory."""
         caps = self.cfg.capacity
+        # register this pipeline's mesh (or None) and deterministic-
+        # numerics flag so library code can harden/pin the solver chain
+        # at trace time — see parallel/mesh.py.  Re-assigned per
+        # dispatch: several pipelines with different meshes may
+        # interleave in one process (the trace cache is keyed by cfg,
+        # which carries parallel.mesh_devices/deterministic).
+        from ..parallel.mesh import set_active_mesh
+
+        det = self.cfg.parallel.deterministic
+        set_active_mesh(self.mesh,
+                        deterministic=(None if det < 0 else bool(det)))
         n = caps.max_raw_points
         pts = np.zeros((n, 3), np.float32)
         inten = np.zeros((n,), np.float32)
@@ -298,7 +339,27 @@ class OdometryPipeline:
 
     def _dispatch_batch(self) -> None:
         """One vmapped dispatch over the accumulated raw-frame group
-        (runtime/batched.py racing registration)."""
+        (runtime/batched.py racing registration) — or, when the motion
+        guard trips, the same frames sequentially."""
+        guard = self.cfg.parallel.batch_motion_guard_t
+        if guard > 0 and self._last_motion > guard:
+            # fast motion: racing-lane staleness costs accuracy; fall
+            # back to sequential registration for this group
+            buf, self._batch_buf = self._batch_buf, []
+            for pts, inten, mask, t0 in buf:
+                inputs = (jnp.asarray(pts), jnp.asarray(inten),
+                          jnp.asarray(mask), jnp.float32(t0))
+                if self.mesh is not None:
+                    from ..parallel.layout import replicate
+
+                    inputs = replicate(inputs, self.mesh)
+                self.state, reg, poses = process_raw_frame(
+                    self.state, *inputs, self.cfg,
+                    piecewise_number=self._batch_pieces)
+                self._pending.append(
+                    (self._frame_idx, self.state, reg, poses, None))
+                self._frame_idx += 1
+            return
         group = len(self._batch_buf)
         pts = jnp.asarray(np.stack([b[0] for b in self._batch_buf]))
         inten = jnp.asarray(np.stack([b[1] for b in self._batch_buf]))
@@ -312,7 +373,8 @@ class OdometryPipeline:
 
             inputs = replicate(inputs, self.mesh)
         self.state, regs, poses = process_raw_frames_batched(
-            self.state, *inputs, self.cfg, group)
+            self.state, *inputs, self.cfg, group,
+            pieces=self._batch_pieces)
         last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
         self._pending.append(
             (self._frame_idx, self.state, last_reg, poses, None))
@@ -331,6 +393,13 @@ class OdometryPipeline:
 
         frame_idx, state, reg, poses, raw_pts = self._pending.popleft()
         q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
+        # feed the batched-mode motion guard: largest per-step
+        # translation observed in this drain (stale by pipeline depth,
+        # which is exactly the staleness the guard models)
+        prev = (self.trajectory.positions[-1]
+                if self.trajectory.positions else t_ws[0])
+        steps = np.diff(np.vstack([prev[None], t_ws]), axis=0)
+        self._last_motion = float(np.linalg.norm(steps, axis=1).max())
         if self.logger.enabled():
             # per-frame quality metrics, mirroring the reference's
             # mapping/timer/pcd logs (point_cloud_registration.hpp:534-557,

@@ -19,7 +19,9 @@ def make_cfg(batch):
         capacity=SMALL_CAPS,
         mapping={"init_accumulate_frames": 6},
         optimization={"icp_maximum_iteration": 5, "full_iterations": 3},
-        parallel={"frame_batch": batch},
+        # guard disabled: these tests exercise the RACING path; the
+        # staleness guard has its own test below
+        parallel={"frame_batch": batch, "batch_motion_guard_t": 0.0},
     )
 
 
@@ -58,13 +60,59 @@ class TestBatchedMode:
         assert sum(p.trajectory.accepted) >= 5
         assert np.linalg.norm(t[-1] - t[0]) > 0.01
 
-    def test_piecewise_guard(self):
+    def test_piecewise_racing_tracks(self):
+        """The SHIPPED realtime shape: piecewise-3 frames racing in
+        G=3 groups (the reference's threads=3 over piecewise-3,
+        performance_realtime.yaml:3 + laser_feature_extractor.hpp:
+        141-142) — every piecewise window is a racing lane, one
+        trajectory row per piece."""
         cfg = make_cfg(3).replace(
             common={"if_motion_deblur": 0, "piecewise_number": 3})
+        p = run(cfg)
+        t = p.trajectory.positions_array()
+        assert len(t) == 14 * 3
+        assert np.all(np.isfinite(t))
+        times = np.asarray(p.trajectory.times)
+        assert np.all(np.diff(times) > 0)
+        assert sum(p.trajectory.accepted) >= 5
+
+    def test_piecewise_guard_odom_mode(self):
+        # odometry mode publishes only piece 0, which the batched
+        # lanes do not model — construction must refuse
+        cfg = make_cfg(3).replace(
+            common={"if_motion_deblur": 0, "piecewise_number": 3,
+                    "odom_mode": 0})
         from loam_livox_tpu.runtime.pipeline import OdometryPipeline
 
-        with pytest.raises(ValueError, match="piecewise"):
+        with pytest.raises(ValueError, match="odom_mode"):
             OdometryPipeline(cfg)
+
+    def test_motion_guard_falls_back_to_sequential(self, monkeypatch):
+        """With the staleness guard tripped (threshold below any real
+        motion), every group after the first observed step dispatches
+        sequentially — the batched program must not run again."""
+        from loam_livox_tpu.runtime import pipeline as pl
+
+        calls = {"batched": 0}
+        orig = pl.process_raw_frames_batched
+
+        def counting(*a, **k):
+            calls["batched"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pl, "process_raw_frames_batched", counting)
+        cfg = make_cfg(3).replace(
+            parallel={"frame_batch": 3, "batch_motion_guard_t": 1e-9})
+        p = run(cfg)
+        assert len(p.trajectory.positions) == 14
+        # 14 frames / G=3 = 5 dispatches (4 full + flush tail).  The
+        # guard can only trip on dispatches AFTER a drain has observed
+        # nonzero motion — the standstill ramp drains zero steps — so
+        # the early groups legitimately race; once the moving frames
+        # drain, later dispatches must fall back to sequential.
+        assert calls["batched"] < 5, (
+            "guard never tripped: every dispatch raced")
+        assert sum(p.trajectory.accepted) >= 5
 
     def test_batch_size_one_uses_sequential_path(self):
         p = run(make_cfg(1), n_frames=4)

@@ -86,6 +86,9 @@ def test_follow_streams_pose_lines(tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     pose_lines = [l for l in lines if "frame" in l]
     summary = [l for l in lines if "frames" in l]
-    assert len(pose_lines) == 3
+    # the default (precision) profile runs the SHIPPED piecewise-3
+    # mode: one pose per piecewise registration, like the reference's
+    # per-piece odometry publishes (laser_feature_extractor.hpp:305-389)
+    assert len(pose_lines) == 3 * 3
     assert pose_lines[0]["frame"] == 0 and len(pose_lines[0]["t"]) == 3
     assert summary and summary[-1]["frames"] == 3
