@@ -31,19 +31,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main():
+def make_cfg():
+    """The run's exact configuration — shared with the CI replay guard
+    (tests/test_loop_unscaled_guard.py), which must evaluate the gates
+    under the SAME shipped parameters the artifact was produced with."""
     from loam_livox_tpu.core.config import SlamConfig
-    from loam_livox_tpu.eval.ate import ate_rmse
-    from loam_livox_tpu.io.simulator import (
-        ConvexScene,
-        LivoxSimulator,
-        SimConfig,
-        Trajectory,
-    )
-    from loam_livox_tpu.runtime.pipeline import OdometryPipeline
 
-    frames = int(os.environ.get("LOOP_FRAMES", "2600"))
-    cfg = SlamConfig().replace(
+    return SlamConfig().replace(
         # odometry setup as the loop scenario ships it (deblur off on the
         # oscillating trajectory; NOT a loop gate)
         common={"if_motion_deblur": 0, "piecewise_number": 1},
@@ -56,6 +50,20 @@ def main():
         # directory must hold this world's full-map cells
         capacity={"cell_capacity": 16384},
     )
+
+
+def main():
+    from loam_livox_tpu.eval.ate import ate_rmse
+    from loam_livox_tpu.io.simulator import (
+        ConvexScene,
+        LivoxSimulator,
+        SimConfig,
+        Trajectory,
+    )
+    from loam_livox_tpu.runtime.pipeline import OdometryPipeline
+
+    frames = int(os.environ.get("LOOP_FRAMES", "2600"))
+    cfg = make_cfg()
     lc = cfg.loop_closure
     assert lc.scans_of_each_keyframe == 300
     assert lc.scans_between_two_keyframe == 100
@@ -123,6 +131,27 @@ def main():
                        "icp_score": round(closer.result.icp_score, 4)}
     # the decisive gate values actually measured, for the write-up
     out["gate_trace_tail"] = closer.gate_trace[-8:]
+    out["gate_trace_len"] = len(closer.gate_trace)
+
+    # ---- regression-guard artifact (VERDICT r3 item 6): the keyframe
+    # records + descriptors + era snapshots of this run, so CI can
+    # REPLAY the shipped-gate decision chain against real unscaled data
+    # without the 2300-frame run (tests/test_loop_unscaled_guard.py).
+    from loam_livox_tpu.runtime.checkpoint import save_loop_state
+
+    # strip the full-cloud snapshots (the guard replays gates +
+    # scene-alignment ICP, which read descriptors + line/plane
+    # snapshots only; full clouds would bloat the committed artifact)
+    for rec in closer.keyframes:
+        rec.snap_full = None
+    state_path = os.path.join(os.path.dirname(__file__),
+                              "loop_unscaled_state.npz")
+    save_loop_state(closer, state_path)
+    trace_path = os.path.join(os.path.dirname(__file__),
+                              "loop_unscaled_trace.json")
+    with open(trace_path, "w") as f:
+        json.dump(closer.gate_trace, f, default=str)
+    out["state_artifact"] = os.path.basename(state_path)
     with open(os.path.join(os.path.dirname(__file__),
                            "loop_unscaled_out.json"), "w") as f:
         json.dump(out, f, indent=1, default=str)
