@@ -140,7 +140,7 @@ def _scenario_config_full(name: str):
                                "n_ridges": 14},
                      "traj": {"lin_hz": np.array([0.05, 0.05, 0.05]),
                               "yaw_hz": 0.05, "pitch_hz": 0.05}}
-    if name == "mid100_multihost":
+    if name == "mid100_trilidar":
         # 5: tri-lidar input through the REAL multi-sensor front end
         # (`frontend.multi.extract_multi_lidar` — vmapped heads, merged
         # per piecewise window, reference laser_feature_extractor.hpp:
@@ -156,7 +156,7 @@ def _scenario_config_full(name: str):
 
 
 SCENARIOS = ("odometry_only", "full_mapping", "largescale_realtime",
-             "loop_closure", "mid100_multihost")
+             "loop_closure", "mid100_trilidar")
 
 
 def run_scenario(name: str, frames: int | None = None,

@@ -22,7 +22,7 @@ GOLDENS = {
     "full_mapping": (0.40, 6),          # measured 0.194
     "largescale_realtime": (1.30, 12),  # measured 0.583/13 accepted
     "loop_closure": (0.45, 20),         # measured 0.195
-    "mid100_multihost": (0.75, 10),     # measured 0.361
+    "mid100_trilidar": (0.75, 10),     # measured 0.361
 }
 
 
