@@ -98,6 +98,43 @@ def bench_config_racing(cfg, raw, warmup, n_frames):
     return G * len(groups[warm_groups:]) / wall
 
 
+def bench_config_chunked(cfg, raw, warmup, n_frames, chunk=8):
+    """Time the SEQUENTIAL chunked program (parallel/dispatch_chunk):
+    K frames per dispatch with per-frame semantics — isolates how much
+    of the single-dispatch budget is per-dispatch host latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from loam_livox_tpu.runtime.odometry import init_state
+    from loam_livox_tpu.runtime.pipeline import process_raw_frames_chunked
+
+    pieces = (1 if cfg.common.if_motion_deblur
+              else cfg.common.piecewise_number)
+    state = init_state(cfg)
+
+    def stack(group):
+        return (jnp.stack([g[0] for g in group]),
+                jnp.stack([g[1] for g in group]),
+                jnp.stack([g[2] for g in group]),
+                jnp.stack([jnp.asarray(g[3]) for g in group]))
+
+    groups = [raw[i:i + chunk] for i in range(0, warmup + n_frames, chunk)]
+    groups = [g for g in groups if len(g) == chunk]
+    warm_groups = max(1, warmup // chunk)
+    for g in groups[:warm_groups]:
+        state, _, _ = process_raw_frames_chunked(
+            state, *stack(g), cfg, chunk, piecewise_number=pieces)
+    jax.block_until_ready(state)
+
+    t_start = time.perf_counter()
+    for g in groups[warm_groups:]:
+        state, _, _ = process_raw_frames_chunked(
+            state, *stack(g), cfg, chunk, piecewise_number=pieces)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t_start
+    return chunk * len(groups[warm_groups:]) / wall
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -146,6 +183,8 @@ def main():
                           raw, warmup, n_frames)
     fps_rt_racing = bench_config_racing(
         realtime_racing_profile().replace(**accel), raw, warmup, n_frames)
+    fps_chunked = bench_config_chunked(
+        SlamConfig().replace(**accel), raw, warmup, n_frames, chunk=8)
 
     print(json.dumps({
         "metric": "odometry_fps",
@@ -155,6 +194,7 @@ def main():
         "shipped_precision_fps": round(fps_prec, 3),
         "shipped_realtime_fps": round(fps_rt, 3),
         "realtime_racing_fps": round(fps_rt_racing, 3),
+        "sequential_chunked_fps": round(fps_chunked, 3),
     }))
 
 

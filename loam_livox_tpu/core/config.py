@@ -266,6 +266,13 @@ class ParallelConfig:
     # buffer staleness), so pair it with if_motion_deblur=0 /
     # piecewise_number=1 and normal platform dynamics.
     frame_batch: int = 1
+    # SEQUENTIAL chunked dispatch: process K raw frames per device
+    # program (lax.scan over the frame axis) — identical per-frame
+    # semantics to one-dispatch-per-frame, amortizing the per-dispatch
+    # host↔device round trip (the replay/offline-throughput mode; K
+    # frames of added result latency).  1 = off.  Mutually exclusive
+    # with frame_batch > 1 (racing).
+    dispatch_chunk: int = 1
     # Motion staleness guard for batched racing (m per odometry step):
     # when the last observed per-step translation exceeds this, the
     # pipeline dispatches the group SEQUENTIALLY instead of racing it —

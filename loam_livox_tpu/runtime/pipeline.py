@@ -36,6 +36,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from ..core.config import SlamConfig
@@ -46,15 +47,17 @@ from ..ops.voxel import voxel_downsample
 from .odometry import OdometryState, init_state, odometry_step
 
 
-@partial(jax.jit, static_argnames=("cfg", "piecewise_number"))
-def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
-                      piecewise_number: int = 1):
-    """ONE fused jitted program for a whole raw frame: feature
-    extraction → source downsample → `piecewise_number` sequential
-    odometry steps.  A single dispatch per frame matters: per-call
-    host→device latency would otherwise dominate at real-time rates
-    (the reference's analogue is its zero-copy intra-process handoff
-    once inside `Laser_mapping`).
+def _process_raw_frame_body(state, pts, inten, mask, t0, cfg: SlamConfig,
+                            piecewise_number: int = 1):
+    """One whole raw frame: feature extraction → source downsample →
+    `piecewise_number` sequential odometry steps.  Traced inside
+    `process_raw_frame` (one dispatch per frame) and inside
+    `process_raw_frames_chunked` (one dispatch per K frames).
+
+    A single dispatch per frame matters: per-call host→device latency
+    would otherwise dominate at real-time rates (the reference's
+    analogue is its zero-copy intra-process handoff once inside
+    `Laser_mapping`).
 
     The piecewise windows run as a `lax.scan` over (lo, hi) index
     fractions — NOT a Python unroll, which would multiply the program
@@ -127,6 +130,48 @@ def process_raw_frame(state, pts, inten, mask, t0, cfg: SlamConfig,
     state, (regs, tmins) = lax.scan(piece_step, state, bounds)
     last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
     poses = (regs.q_w, regs.t_w, regs.accepted, tmins)
+    return state, last_reg, poses
+
+
+process_raw_frame = partial(jax.jit,
+                            static_argnames=("cfg", "piecewise_number"))(
+    _process_raw_frame_body)
+process_raw_frame.__doc__ = _process_raw_frame_body.__doc__
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "piecewise_number"))
+def process_raw_frames_chunked(state, pts, inten, mask, t0s,
+                               cfg: SlamConfig, chunk: int,
+                               piecewise_number: int = 1):
+    """SEQUENTIAL chunked dispatch: K raw frames in ONE device program,
+    same per-frame semantics as K `process_raw_frame` calls — a
+    `lax.scan` over the frame axis wrapping the shared frame body.
+
+    This is the replay/offline-throughput mode: at 70+ fps the
+    per-dispatch host↔device round trip is a material share of the
+    frame budget (remote-TPU tunnel ≈ ms-scale RTT); one dispatch per K
+    frames amortizes it with ZERO accuracy tradeoff (unlike racing,
+    which coasts start poses).  The cost is K frames of added result
+    latency — for live sensor streams keep K small or 1.
+
+    pts (K, N, 3), inten (K, N), mask (K, N), t0s (K,).
+    Returns (state, (q_w, t_w, accepted, time_min)) with leading dim
+    K·pieces, time-ordered.
+    """
+
+    def frame_step(st, inp):
+        p, it, m, t0 = inp
+        st, reg, poses = _process_raw_frame_body(
+            st, p, it, m, t0, cfg, piecewise_number)
+        return st, (poses, reg)
+
+    state, (poses, regs) = lax.scan(
+        frame_step, state,
+        (pts, inten, mask, t0s.astype(jnp.float32)))
+    # (K, P, ...) → (K·P, ...) in time order
+    poses = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), poses)
+    last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
     return state, last_reg, poses
 
 
@@ -257,6 +302,16 @@ class OdometryPipeline:
         # inits and ≤G-frame buffer staleness degrade exactly when the
         # platform moves fast (the measured largescale failure mode).
         self._last_motion = 0.0
+        # Sequential chunked dispatch (parallel/dispatch_chunk): K raw
+        # frames per device program with per-frame semantics — the
+        # replay/offline-throughput mode (amortizes per-dispatch host
+        # latency; K frames of result latency; loop bookkeeping at
+        # chunk granularity like the racing mode).
+        self.dispatch_chunk = max(1, int(cfg.parallel.dispatch_chunk))
+        if self.dispatch_chunk > 1 and self.frame_batch > 1:
+            raise ValueError(
+                "parallel/dispatch_chunk and parallel/frame_batch are "
+                "mutually exclusive (sequential chunking vs racing)")
         self._batch_buf: List = []
         self._pcd_dir = None
         if cfg.common.if_save_to_pcd_files:
@@ -299,6 +354,12 @@ class OdometryPipeline:
             self._batch_buf.append((pts, inten, mask, base_time))
             if len(self._batch_buf) == self.frame_batch:
                 self._dispatch_batch()
+            self._drain_to_depth()
+            return
+        if self.dispatch_chunk > 1:
+            self._batch_buf.append((pts, inten, mask, base_time))
+            if len(self._batch_buf) == self.dispatch_chunk:
+                self._dispatch_chunk()
             self._drain_to_depth()
             return
         # Motion deblur replaces piecewise splitting (reference:
@@ -380,11 +441,38 @@ class OdometryPipeline:
             (self._frame_idx, self.state, last_reg, poses, None))
         self._frame_idx += group
 
+    def _dispatch_chunk(self) -> None:
+        """One sequential chunked dispatch over the accumulated raw
+        frames (process_raw_frames_chunked — per-frame semantics, one
+        device program)."""
+        k = len(self._batch_buf)
+        pts = jnp.asarray(np.stack([b[0] for b in self._batch_buf]))
+        inten = jnp.asarray(np.stack([b[1] for b in self._batch_buf]))
+        mask = jnp.asarray(np.stack([b[2] for b in self._batch_buf]))
+        t0s = jnp.asarray([b[3] for b in self._batch_buf], jnp.float32)
+        self._batch_buf = []
+        pieces = (1 if self.cfg.common.if_motion_deblur
+                  else self.cfg.common.piecewise_number)
+        inputs = (pts, inten, mask, t0s)
+        if self.mesh is not None:
+            from ..parallel.layout import replicate
+
+            inputs = replicate(inputs, self.mesh)
+        self.state, last_reg, poses = process_raw_frames_chunked(
+            self.state, *inputs, self.cfg, k, piecewise_number=pieces)
+        self._pending.append(
+            (self._frame_idx, self.state, last_reg, poses, None))
+        self._frame_idx += k
+
     def flush(self) -> None:
         """Drain all in-flight frames (host observes every result);
-        with frame batching, a partial tail group dispatches first."""
+        with frame batching/chunking, a partial tail group dispatches
+        first."""
         if self._batch_buf:
-            self._dispatch_batch()
+            if self.dispatch_chunk > 1:
+                self._dispatch_chunk()
+            else:
+                self._dispatch_batch()
         while self._pending:
             self._drain_one()
 
