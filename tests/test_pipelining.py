@@ -110,4 +110,9 @@ class TestPipeliningContract:
         lines = capsys.readouterr().out.strip().splitlines()
         parsed = [json.loads(ln) for ln in lines if ln.startswith("{")]
         frames = [d["frame"] for d in parsed if "frame" in d]
-        assert frames == list(range(8)), frames
+        # the default (precision) profile runs the SHIPPED piecewise-3
+        # mode: one pose row per piecewise registration, like the
+        # reference's per-piece odometry publishes
+        # (laser_feature_extractor.hpp:305-389) — 8 raw frames emit
+        # 24 rows, each exactly once, in order
+        assert frames == list(range(8 * 3)), frames
