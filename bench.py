@@ -185,6 +185,11 @@ def main():
         realtime_racing_profile().replace(**accel), raw, warmup, n_frames)
     fps_chunked = bench_config_chunked(
         SlamConfig().replace(**accel), raw, warmup, n_frames, chunk=8)
+    from loam_livox_tpu.core.config import bounded_scene_caps
+
+    fps_bounded = bench_config(
+        SlamConfig().replace(**accel, capacity=bounded_scene_caps()),
+        raw, warmup, n_frames)
 
     print(json.dumps({
         "metric": "odometry_fps",
@@ -195,6 +200,7 @@ def main():
         "shipped_realtime_fps": round(fps_rt, 3),
         "realtime_racing_fps": round(fps_rt_racing, 3),
         "sequential_chunked_fps": round(fps_chunked, 3),
+        "bounded_scene_caps_fps": round(fps_bounded, 3),
     }))
 
 
