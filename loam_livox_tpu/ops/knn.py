@@ -60,6 +60,12 @@ def knn(
                  0.02 m² at 50 m range — an order below the match gates,
                  and only reorders near-ties that `approx_min_k`'s 0.99
                  recall already treats as interchangeable).
+      deterministic: harden the distance chain against layout-dependent
+                 FMA contraction (barriered squared norms, unfused
+                 cross term) — required by the multi-chip equivalence
+                 contract when the reference axis is sharded
+                 (docs/multichip.md); off by default for fusion-free
+                 speed.
 
     Returns:
       sq_dists: (Q, k) float32, ascending; BIG where fewer than k valid refs.
