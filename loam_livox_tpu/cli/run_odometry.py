@@ -33,8 +33,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--config", help="YAML config (reference schema)")
     p.add_argument("--profile",
-                   choices=["precision", "realtime", "largescale"],
+                   choices=["precision", "realtime", "realtime_racing",
+                            "largescale"],
                    default="precision")
+    p.add_argument("--caps", choices=["default", "bounded"],
+                   default="default",
+                   help="capacity preset: 'bounded' sizes the static-"
+                        "shape buffers for bounded scenes (~4x measured "
+                        "P99 fills — +36%% fps; NOT for large worlds; "
+                        "core/config.py bounded_scene_caps)")
     p.add_argument("--source", default="sim",
                    help="'sim', 'pcd:<dir>', 'bag:<file>[:<topic>]', "
                         "or 'lvx:<file>'")
@@ -73,7 +80,10 @@ def build_config(args):
 
     cfg = {"precision": C.precision_profile,
            "realtime": C.realtime_profile,
+           "realtime_racing": C.realtime_racing_profile,
            "largescale": C.largescale_profile}[args.profile]()
+    if args.caps == "bounded":
+        cfg = cfg.replace(capacity=C.bounded_scene_caps())
     if args.config:
         cfg = C.load_yaml(args.config, base=cfg)
     overrides = {}
