@@ -62,6 +62,16 @@ class TestChunkedDispatch:
         assert abs(acc_c - acc_s) <= 2
         assert acc_s >= 5
 
+    def test_chunked_composes_with_mesh(self, eight_devices):
+        """Chunked dispatch under the product mesh: the scan-over-
+        frames program runs SPMD with the sharded state, stays finite,
+        and the state remains genuinely distributed."""
+        cfg = make_cfg(4).replace(parallel={"mesh_devices": 8})
+        p = run(cfg, n_frames=8)
+        t = p.trajectory.positions_array()
+        assert t.shape == (8, 3) and np.all(np.isfinite(t))
+        assert len(p.state.map_surface.xyz.sharding.device_set) == 8
+
     def test_chunk_and_racing_are_exclusive(self):
         from loam_livox_tpu.runtime.pipeline import OdometryPipeline
 
