@@ -13,31 +13,45 @@ bytes ≈ 1 GB at the odometry working set).
 This kernel keeps the dense path's cheap reduction and removes the HBM
 traffic:
 
-* one MXU matmul per (query tile, ref tile) produces the distance block
-  in VMEM (``q4 = (−2x, −2y, −2z, 1)``, ``ref4 = (x, y, z, ‖r‖² +
-  mask_penalty)`` ⇒ ``‖r‖² − 2⟨q, r⟩``; the query's ‖q‖² shifts every
-  candidate of a row equally and is added outside),
-* the block folds into a per-query RUNNING BINNED MIN held in VMEM
-  scratch: bin = ref_index mod L.  That is `approx_min_k`'s own
-  reduction strategy (partial reduce into L bins, ~3 VPU passes per
-  block) — fused with the distance computation instead of run over a
-  materialized matrix,
+* the reference axis is processed in `bins`-wide column groups; each
+  group's distance block (``q4 = (−2x, −2y, −2z, 1)``, ``ref4 = (x, y,
+  z, ‖r‖² + mask_penalty)`` ⇒ ``‖r‖² − 2⟨q, r⟩``; the query's ‖q‖²
+  shifts every candidate of a row equally and is added outside) folds
+  into a per-query RUNNING BINNED MIN held in VMEM scratch: bin =
+  ref_index mod L.  That is `approx_min_k`'s own reduction strategy
+  (partial reduce into L bins) — fused with the distance computation
+  instead of run over a materialized matrix,
 * only the (Q, L) bin minima + argmin indices leave the kernel; an
   exact `top_k` over the L bins finishes the job outside (Q × L is
   ~500× smaller than Q × M).
 
+GEOMETRIC GROUP SKIPPING (the KD-tree's pruning, recovered): the
+matching buffer is voxel-sort ordered, so a contiguous run of reference
+indices is spatially compact.  `build_ref_operand` precomputes each
+`bins`-wide group's bounding box; the caller may pass ``max_radius``
+(ICP passes its correspondence gate, ``maximum_dis_*_for_match``), and
+any group whose box is farther than that radius from the query tile's
+box is skipped outright — the KD-tree's branch-and-bound, re-expressed
+at tile granularity.  Exactness: a skipped reference is > max_radius
+from EVERY query in the tile, so it can never appear among neighbors
+within the gate; ICP's target builders discard any block whose k-th
+neighbor exceeds the gate, so the built targets are IDENTICAL to the
+unskipped kernel's (a block whose true k-th neighbor lies beyond the
+gate stays invalid either way).  Queries in a far tile simply get BIG
+distances, exactly like the fewer-than-k-valid-refs case.
+
 Recall: identical in structure to `approx_min_k` with L bins — a true
 neighbor is lost only when two of the k nearest collide in the same
-index-mod-L bin.  The matching buffer is voxel-sort ordered, so spatial
-neighbors tend to have nearby indices, which mod-L separates; measured
-recall vs exact on voxel-sorted references is 0.9992 at the default
-L = 256 (0.977 at L = 128 — see tests/test_pallas_knn.py; the dense
-engine's `approx_min_k` at recall_target 0.99 is the accepted
-baseline).
+index-mod-L bin.  The voxel-sort order makes spatial neighbors
+index-adjacent, which mod-L separates; measured recall vs exact on
+voxel-sorted references is 0.9992 at the default L = 256 (0.977 at
+L = 128 — see tests/test_pallas_knn.py; the dense engine's
+`approx_min_k` at recall_target 0.99 is the accepted baseline).
 """
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +62,16 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e30
 
 
-def _kernel(counts_ref, q4_ref, ref4_ref, out_d_ref, out_i_ref,
-            run_d, run_i, *, qt: int, rt: int, bins: int, engine: str):
+class RefOperand(NamedTuple):
+    """Precomputed kernel operands for a fixed reference set."""
+    ref4: jax.Array     # (4, Mp) — (x, y, z, ‖r‖² + mask_penalty)
+    boxes: jax.Array    # (Mp // bins, 8) — per-group [lo_xyz, _, hi_xyz, _]
+
+
+def _kernel(counts_ref, q4_ref, ref4_ref, qbox_ref, rbox_ref,
+            out_d_ref, out_i_ref, run_d, run_i,
+            *, qt: int, rt: int, bins: int, engine: str,
+            radius2: float | None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -59,62 +81,69 @@ def _kernel(counts_ref, q4_ref, ref4_ref, out_d_ref, out_i_ref,
         run_d[:] = jnp.full(run_d.shape, BIG, jnp.float32)
         run_i[:] = jnp.zeros(run_i.shape, jnp.int32)
 
-    # Tile skipping (the structural advantage over the dense engine):
-    # XLA's static shapes force the dense matmul to crunch the FULL
-    # padded capacity every call, but the matching buffer is typically
-    # a small valid prefix of it (measured ~1-5% full on bounded
-    # scenes).  The prefetched counts bound the valid prefix of each
-    # axis; tiles entirely beyond them contribute nothing (their mask
+    # Prefix tile skipping: tiles fully beyond the last valid reference
+    # or beyond the caller's query count contribute nothing (their mask
     # penalty is BIG) and are skipped outright.
     active = jnp.logical_and(j * rt < counts_ref[0],
                              i * qt < counts_ref[1])
 
     @pl.when(active)
     def _():
-        # (QT, RT) distance block: ‖r‖² − 2⟨q, r⟩ (+ mask penalty).
-        # Selection precision matters: single-pass bf16 has absolute
-        # error ~|q||r|·2⁻⁸ (≈ 1-3 m² at ±20 m coordinates), larger
-        # than the near-neighbor distance gaps ICP correspondence rides
-        # on — measured selection recall collapses to 0.46.  Mosaic
-        # lowers only DEFAULT/HIGHEST dot precision, so the two
-        # exact-enough paths are a 6-pass f32 MXU contraction ('mxu')
-        # or K=3 explicit VPU broadcast multiply-adds in f32 ('vpu') —
-        # the contraction depth is 4, so the VPU formulation costs ~6
-        # elementwise passes and no MXU padding waste.  The returned
-        # DISTANCES are additionally rescored in exact f32 outside the
-        # kernel (O(Q·k)).
-        if engine == "mxu":
-            d = lax.dot_general(
-                q4_ref[:], ref4_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
-        else:
-            d = ref4_ref[3:4, :]                # ‖r‖² + mask penalty
-            for c in range(3):
-                d = d + q4_ref[:, c:c + 1] * ref4_ref[c:c + 1, :]
         n_groups = rt // bins
-
-        # Binned min + argmin over lane-aligned (QT, L) column groups.
-        # NOTE: a (QT, RT) → (QT, G, L) reshape would express this in
-        # two reductions, but that shape cast splits the lane dimension
-        # — Mosaic either rejects it or mis-lowers it; the unrolled
-        # static-slice min-tree lowers cleanly at the same ~2 VPU
-        # passes.
-        tile_min = d[:, :bins]
-        for g in range(1, n_groups):
-            tile_min = jnp.minimum(tile_min, d[:, g * bins:(g + 1) * bins])
-        g_best = jnp.full((qt, bins), 2**30, jnp.int32)
-        for g in range(n_groups):
-            blk = d[:, g * bins:(g + 1) * bins]
-            g_best = jnp.minimum(
-                g_best, jnp.where(blk == tile_min, g, 2**30))
         b_iota = lax.broadcasted_iota(jnp.int32, (qt, bins), 1)
-        tile_idx = j * rt + g_best * bins + b_iota           # global ref ids
+        # Unrolled loop over `bins`-wide reference column groups; each
+        # group is guarded by the box–box distance test when a radius
+        # gate is set (geometric group skipping, see module doc).
+        for g in range(n_groups):
+            if radius2 is not None:
+                # box–box squared distance (scalar, from SMEM boxes —
+                # whole arrays, indexed by the grid position: Mosaic
+                # rejects sub-(8, 128) VMEM/SMEM blocks)
+                gg = j * n_groups + g
+                d2 = jnp.float32(0.0)
+                for c in range(3):
+                    rlo = rbox_ref[gg, c]
+                    rhi = rbox_ref[gg, 4 + c]
+                    qlo = qbox_ref[i, c]
+                    qhi = qbox_ref[i, 4 + c]
+                    gap = jnp.maximum(jnp.maximum(rlo - qhi, qlo - rhi),
+                                      0.0)
+                    d2 = d2 + gap * gap
+                near = d2 <= radius2
+            else:
+                near = jnp.bool_(True)
 
-        better = tile_min < run_d[:]
-        run_d[:] = jnp.where(better, tile_min, run_d[:])
-        run_i[:] = jnp.where(better, tile_idx, run_i[:])
+            @pl.when(near)
+            def _(g=g):
+                sl = slice(g * bins, (g + 1) * bins)
+                # (QT, bins) distance block.  Selection precision
+                # matters: single-pass bf16 has absolute error
+                # ~|q||r|·2⁻⁸ (≈ 1-3 m² at ±20 m coordinates), larger
+                # than the near-neighbor distance gaps ICP
+                # correspondence rides on — measured selection recall
+                # collapses to 0.46.  Mosaic lowers only
+                # DEFAULT/HIGHEST dot precision, so the two
+                # exact-enough paths are a 6-pass f32 MXU contraction
+                # ('mxu') or K=3 explicit VPU broadcast multiply-adds
+                # in f32 ('vpu') — the contraction depth is 4, so the
+                # VPU formulation costs ~6 elementwise passes and no
+                # MXU padding waste.  The returned DISTANCES are
+                # additionally rescored in exact f32 outside the
+                # kernel (O(Q·k)).
+                if engine == "mxu":
+                    d = lax.dot_general(
+                        q4_ref[:], ref4_ref[:, sl],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+                else:
+                    d = ref4_ref[3:4, sl]           # ‖r‖² + mask penalty
+                    for c in range(3):
+                        d = d + q4_ref[:, c:c + 1] * ref4_ref[c:c + 1, sl]
+                idx = j * rt + g * bins + b_iota     # global ref ids
+                better = d < run_d[:]
+                run_d[:] = jnp.where(better, d, run_d[:])
+                run_i[:] = jnp.where(better, idx, run_i[:])
 
     @pl.when(j == nj - 1)
     def _():
@@ -122,10 +151,13 @@ def _kernel(counts_ref, q4_ref, ref4_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = run_i[:]
 
 
-def build_ref4(ref_xyz: jax.Array, ref_mask: jax.Array,
-               ref_tile: int = 2048) -> jax.Array:
-    """Precompute the kernel's reference operand: a (4, Mp) array of
-    (x, y, z, ‖r‖² + mask_penalty), padded to a `ref_tile` multiple.
+def build_ref_operand(ref_xyz: jax.Array, ref_mask: jax.Array,
+                      ref_tile: int = 2048, bins: int = 256) -> RefOperand:
+    """Precompute the kernel's reference operands: the (4, Mp) relayout
+    of (x, y, z, ‖r‖² + mask_penalty), padded to a `ref_tile` multiple,
+    plus per-`bins`-group bounding boxes for geometric skipping
+    (invalid/padding points contribute ±inf, so an all-invalid group's
+    box distance is +inf and the group always skips).
 
     The transpose is a real relayout of the whole map — hoist it out of
     any loop whose reference set is fixed (the ICP outer loop searches
@@ -139,12 +171,27 @@ def build_ref4(ref_xyz: jax.Array, ref_mask: jax.Array,
         ref = jnp.pad(ref, ((0, padm), (0, 0)))
         mask = jnp.pad(mask, (0, padm))
     r2 = jnp.sum(ref * ref, axis=-1) + jnp.where(mask, 0.0, BIG)
-    return jnp.concatenate([ref, r2[:, None]], axis=1).T     # (4, Mp)
+    ref4 = jnp.concatenate([ref, r2[:, None]], axis=1).T     # (4, Mp)
+
+    mp = ref.shape[0]
+    grp = ref.reshape(mp // bins, bins, 3)
+    gmask = mask.reshape(mp // bins, bins, 1)
+    lo = jnp.min(jnp.where(gmask, grp, jnp.inf), axis=1)     # (G, 3)
+    hi = jnp.max(jnp.where(gmask, grp, -jnp.inf), axis=1)
+    pad = jnp.zeros((mp // bins, 1), jnp.float32)
+    boxes = jnp.concatenate([lo, pad, hi, pad], axis=1)      # (G, 8)
+    return RefOperand(ref4=ref4, boxes=boxes)
+
+
+def build_ref4(ref_xyz: jax.Array, ref_mask: jax.Array,
+               ref_tile: int = 2048) -> jax.Array:
+    """Back-compat wrapper: the (4, Mp) operand only."""
+    return build_ref_operand(ref_xyz, ref_mask, ref_tile).ref4
 
 
 @partial(jax.jit,
          static_argnames=("k", "query_tile", "ref_tile", "bins", "engine",
-                          "interpret"))
+                          "interpret", "max_radius"))
 def knn_fused(
     query_xyz: jax.Array,
     ref_xyz: jax.Array,
@@ -155,8 +202,9 @@ def knn_fused(
     bins: int = 256,
     engine: str = "vpu",
     interpret: bool | None = None,
-    ref4: jax.Array | None = None,
+    ref4: jax.Array | RefOperand | None = None,
     query_count: jax.Array | None = None,
+    max_radius: float | None = None,
 ):
     """Same contract as `ops.knn.knn`: (Q, k) ascending squared
     distances (BIG where fewer than k valid refs) + int32 indices.
@@ -167,11 +215,16 @@ def knn_fused(
     'mxu' (6-pass f32 contraction) — see the kernel comment.
     `interpret=None` auto-selects: compiled on TPU, interpreter
     elsewhere (Mosaic kernels have no compiled CPU path).
-    Pass a precomputed `ref4` (`build_ref4`) when searching the same
-    reference set repeatedly.  `query_count` (traced int scalar) bounds
-    the valid-query prefix — query tiles beyond it are skipped and
-    return BIG (callers that compact their queries, e.g. voxel-filter
-    outputs, get the win for free; None = all queries valid).
+    Pass a precomputed `ref4` (`build_ref_operand`; a bare ref4 array
+    from `build_ref4` is accepted when ``max_radius`` is None) when
+    searching the same reference set repeatedly.  `query_count` (traced
+    int scalar) bounds the valid-query prefix — query tiles beyond it
+    are skipped and return BIG (callers that compact their queries,
+    e.g. voxel-filter outputs, get the win for free; None = all queries
+    valid).  ``max_radius``: when set, reference groups farther than
+    this (meters, unsquared) from a query tile's bounding box are
+    skipped — neighbors beyond it may be reported as BIG, so pass a
+    radius no smaller than the caller's own correspondence gate.
     """
     assert ref_tile % bins == 0 and bins >= k
     if interpret is None:
@@ -183,7 +236,15 @@ def knn_fused(
     if padq:
         q = jnp.pad(q, ((0, padq), (0, 0)))
     if ref4 is None:
-        ref4 = build_ref4(ref_xyz, ref_mask, ref_tile)
+        ref4 = build_ref_operand(ref_xyz, ref_mask, ref_tile, bins)
+    if isinstance(ref4, RefOperand):
+        rboxes = ref4.boxes
+        ref4 = ref4.ref4
+    else:
+        assert max_radius is None, (
+            "max_radius needs the group boxes — pass a RefOperand from "
+            "build_ref_operand, not a bare ref4 array")
+        rboxes = jnp.zeros((ref4.shape[1] // bins, 8), jnp.float32)
 
     q4 = jnp.concatenate(
         [-2.0 * q, jnp.ones((q.shape[0], 1), jnp.float32)], axis=1)
@@ -200,6 +261,16 @@ def knn_fused(
            else jnp.asarray(query_count, jnp.int32))
     counts = jnp.stack([n_ref, n_q])
 
+    # per-query-tile bounding boxes (rows beyond the valid prefix
+    # contribute ±inf ⇒ an all-invalid tile's box never comes near)
+    qv = (jnp.arange(qp, dtype=jnp.int32) < n_q)[:, None]
+    qg = q.reshape(qp // query_tile, query_tile, 3)
+    qgv = qv.reshape(qp // query_tile, query_tile, 1)
+    qlo = jnp.min(jnp.where(qgv, qg, jnp.inf), axis=1)
+    qhi = jnp.max(jnp.where(qgv, qg, -jnp.inf), axis=1)
+    qpad = jnp.zeros((qp // query_tile, 1), jnp.float32)
+    qboxes = jnp.concatenate([qlo, qpad, qhi, qpad], axis=1)  # (NI, 8)
+
     # beyond-prefix grid steps re-fetch tile 0 (skipped anyway — no DMA
     # of dead padding)
     def q_map(i, j, cnt):
@@ -208,6 +279,7 @@ def knn_fused(
     def r_map(i, j, cnt):
         return (0, lax.min(j, lax.max(cnt[0] - 1, 0) // ref_tile))
 
+    groups_per_tile = ref_tile // bins
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -216,6 +288,8 @@ def knn_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ref_tile), r_map,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # qboxes, whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rboxes, whole
         ],
         out_specs=(
             pl.BlockSpec((query_tile, bins), lambda i, j, cnt: (i, 0),
@@ -230,19 +304,32 @@ def knn_fused(
     )
     out_d, out_i = pl.pallas_call(
         partial(_kernel, qt=query_tile, rt=ref_tile, bins=bins,
-                engine=engine),
+                engine=engine,
+                radius2=(None if max_radius is None
+                         else float(max_radius) ** 2)),
         out_shape=(
             jax.ShapeDtypeStruct((qp, bins), jnp.float32),
             jax.ShapeDtypeStruct((qp, bins), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, q4, ref4)
+    )(counts, q4, ref4, qboxes, rboxes)
 
-    # exact top-k over the L bin minima (Q × L, tiny)
-    neg, pos = lax.top_k(-out_d, k)                          # (Qp, k)
-    kvals = -neg
-    idx = jnp.clip(jnp.take_along_axis(out_i, pos, axis=1), 0, m - 1)
+    # exact top-k over the L bin minima (Q × L, tiny).  k iterative
+    # min-extractions instead of `lax.top_k`: the generic top-k
+    # lowering sorts each row — measured as the dominant POST-kernel
+    # cost once geometric skipping shrank the kernel itself; k·3 VPU
+    # passes over (Q, L) are ~free.
+    bin_iota = lax.broadcasted_iota(jnp.int32, out_d.shape, 1)
+    d_work = out_d
+    kv, ki = [], []
+    for _ in range(k):
+        am = jnp.argmin(d_work, axis=1)                      # (Qp,)
+        kv.append(jnp.min(d_work, axis=1))
+        ki.append(jnp.take_along_axis(out_i, am[:, None], axis=1)[:, 0])
+        d_work = jnp.where(bin_iota == am[:, None], BIG, d_work)
+    kvals = jnp.stack(kv, axis=1)                            # (Qp, k)
+    idx = jnp.clip(jnp.stack(ki, axis=1), 0, m - 1)
     # exact f32 rescoring of the selected pairs (see kernel comment);
     # gather ROWS of the original (M, 3) array — a column gather from
     # the transposed ref4 would stride the lane axis (measured 6×

@@ -150,12 +150,20 @@ def register_frame(
         # relayout costs more than the fused search itself); the query
         # sets are voxel-filter outputs (compact valid prefixes), so
         # their fill counts bound the kernel's query-tile work
-        from ..ops.pallas.knn_fused import build_ref4
+        from ..ops.pallas.knn_fused import build_ref_operand
 
-        ref4_c = build_ref4(map_corners.xyz, map_corners.mask)
-        ref4_s = build_ref4(map_surface.xyz, map_surface.mask)
+        ref4_c = build_ref_operand(map_corners.xyz, map_corners.mask)
+        ref4_s = build_ref_operand(map_surface.xyz, map_surface.mask)
         n_q_corner = jnp.sum(frame_corners.mask.astype(jnp.int32))
         n_q_surf = jnp.sum(frame_surface.mask.astype(jnp.int32))
+        # Geometric group skipping radii = the correspondence gates
+        # (maximum_dis_*_for_match are SQUARED gates): a reference
+        # beyond the gate can never yield a valid target, so the
+        # skipped kernel builds IDENTICAL targets (knn_fused module
+        # doc) while pruning the far map like the reference's KD-tree
+        # branch-and-bound did.
+        radius_c = float(opt.maximum_dis_line_for_match) ** 0.5
+        radius_s = float(opt.maximum_dis_plane_for_match) ** 0.5
 
     def icp_iteration(state: ICPState) -> ICPState:
         # --- correspondence search at the current estimate ------------
@@ -176,10 +184,12 @@ def register_frame(
 
             cd, ci = knn_fused(qc, map_corners.xyz, map_corners.mask,
                                k=corner_k, ref4=ref4_c,
-                               query_count=n_q_corner)
+                               query_count=n_q_corner,
+                               max_radius=radius_c)
             sd, si = knn_fused(qs, map_surface.xyz, map_surface.mask,
                                k=plane_k, ref4=ref4_s,
-                               query_count=n_q_surf)
+                               query_count=n_q_surf,
+                               max_radius=radius_s)
         else:
             from ..parallel.mesh import det_active
 
