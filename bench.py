@@ -2,13 +2,15 @@
 
 Simulates a Mid-40-like stream (10,000 pts / 0.1 s frame — the
 reference's design rate, ``laser_feature_extractor.hpp:68``,
-``livox_feature_extractor.hpp:145``), then times the full compute path
-(front-end feature extraction + scan-to-map registration + map update)
-per frame.  Baseline = the 10 Hz real-time input rate the reference is
-engineered to keep up with ("real time" ``README.md:9``); the driver
-target is >2× that on a single TPU chip (BASELINE.md).
+``livox_feature_extractor.hpp:145``), then times the full pipeline
+(`runtime.pipeline.OdometryPipeline`: feature extraction → piecewise
+scan-to-map registration → map update → drain) per raw frame.
+Baseline = the 10 Hz real-time input rate the reference is engineered
+to keep up with ("real time" ``README.md:9``); the driver target is
+>2× that on a single TPU chip (BASELINE.md).
 
-Three configurations are timed:
+Configurations timed (all through the SAME pipeline class the CLI
+runs):
 * the framework default (deblur ON → one slerp-compensated registration
   per frame) — the headline ``value``;
 * the SHIPPED precision profile (deblur OFF, piecewise 3 — the
@@ -16,12 +18,23 @@ Three configurations are timed:
   ``config/performance_precision.yaml:5`` +
   ``laser_feature_extractor.hpp:141-142``);
 * the SHIPPED realtime profile (same piecewise-3 mode at the realtime
-  knobs).
+  knobs, sequential drain);
+* realtime RACING (`realtime_racing_profile`): the reference's
+  ``maximum_parallel_thread: 3`` worker racing re-expressed as 3
+  vmapped racing lanes with the motion staleness guard;
+* sequential chunked dispatch (8 frames per device program);
+* the frozen bounded-scene capacity preset (superseded by the adaptive
+  schedule, kept for round-over-round comparability).
+
+The adaptive capacity schedule (runtime/capacity_schedule.py) is ON
+for the sequential rows, exactly as the pipeline ships: buffers start
+small and grow as measured fills demand.  Each row runs a full
+untimed pre-pass first so every capacity tier the stream visits is
+compiled (and persistently cached) before the timed pass.
 
 Prints ONE JSON line:
   {"metric": "odometry_fps", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 10.0, "shipped_precision_fps": N,
-   "shipped_realtime_fps": N}
+   "vs_baseline": N / 10.0, "shipped_precision_fps": N, ...}
 """
 from __future__ import annotations
 
@@ -35,104 +48,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_config(cfg, raw, warmup, n_frames):
-    """Time the fused per-frame program over the prepared raw stream."""
+def bench_pipeline(cfg, raw, warmup, n_frames):
+    """Time `OdometryPipeline.process_raw` over the prepared raw stream
+    (device-resident, pre-padded inputs — the sensor-DMA analogue).
+
+    An untimed full-stream pre-pass on a throwaway pipeline compiles
+    every program (including every adaptive-capacity tier this stream
+    triggers); the timed pipeline then replays the identical tier
+    ladder against the in-process jit cache."""
     import jax
 
-    from loam_livox_tpu.runtime.odometry import init_state
-    from loam_livox_tpu.runtime.pipeline import process_raw_frame
+    from loam_livox_tpu.runtime.pipeline import OdometryPipeline
 
-    pieces = (1 if cfg.common.if_motion_deblur
-              else cfg.common.piecewise_number)
-    state = init_state(cfg)
+    pre = OdometryPipeline(cfg)
+    for pts, inten, m, t0 in raw:
+        pre.process_raw(pts, inten, t0, mask=m)
+    pre.flush()
+    jax.block_until_ready(pre.state)
+
+    pipe = OdometryPipeline(cfg)
     for i in range(warmup):
-        state, _, _ = process_raw_frame(state, *raw[i], cfg,
-                                        piecewise_number=pieces)
-    jax.block_until_ready(state)
+        pts, inten, m, t0 = raw[i]
+        pipe.process_raw(pts, inten, t0, mask=m)
+    jax.block_until_ready(pipe.state)
 
     t_start = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
-        state, _, _ = process_raw_frame(state, *raw[i], cfg,
-                                        piecewise_number=pieces)
-    jax.block_until_ready(state)
+        pts, inten, m, t0 = raw[i]
+        pipe.process_raw(pts, inten, t0, mask=m)
+    pipe.flush()
+    jax.block_until_ready(pipe.state)
     wall = time.perf_counter() - t_start
     return n_frames / wall
-
-
-def bench_config_racing(cfg, raw, warmup, n_frames):
-    """Time the batched racing program (`parallel/frame_batch` — the
-    reference's maximum_parallel_thread worker racing re-expressed as
-    one vmapped dispatch, runtime/batched.py): G raw frames × P
-    piecewise windows register as G·P racing lanes per dispatch."""
-    import jax
-    import jax.numpy as jnp
-
-    from loam_livox_tpu.runtime.odometry import init_state
-    from loam_livox_tpu.runtime.pipeline import process_raw_frames_batched
-
-    G = cfg.parallel.frame_batch
-    pieces = (1 if cfg.common.if_motion_deblur
-              else cfg.common.piecewise_number)
-    state = init_state(cfg)
-
-    def stack(group):
-        return (jnp.stack([g[0] for g in group]),
-                jnp.stack([g[1] for g in group]),
-                jnp.stack([g[2] for g in group]),
-                jnp.stack([jnp.asarray(g[3]) for g in group]))
-
-    groups = [raw[i:i + G] for i in range(0, warmup + n_frames, G)]
-    groups = [g for g in groups if len(g) == G]
-    warm_groups = max(1, warmup // G)
-    for g in groups[:warm_groups]:
-        state, _, _ = process_raw_frames_batched(
-            state, *stack(g), cfg, G, pieces=pieces)
-    jax.block_until_ready(state)
-
-    t_start = time.perf_counter()
-    for g in groups[warm_groups:]:
-        state, _, _ = process_raw_frames_batched(
-            state, *stack(g), cfg, G, pieces=pieces)
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t_start
-    return G * len(groups[warm_groups:]) / wall
-
-
-def bench_config_chunked(cfg, raw, warmup, n_frames, chunk=8):
-    """Time the SEQUENTIAL chunked program (parallel/dispatch_chunk):
-    K frames per dispatch with per-frame semantics — isolates how much
-    of the single-dispatch budget is per-dispatch host latency."""
-    import jax
-    import jax.numpy as jnp
-
-    from loam_livox_tpu.runtime.odometry import init_state
-    from loam_livox_tpu.runtime.pipeline import process_raw_frames_chunked
-
-    pieces = (1 if cfg.common.if_motion_deblur
-              else cfg.common.piecewise_number)
-    state = init_state(cfg)
-
-    def stack(group):
-        return (jnp.stack([g[0] for g in group]),
-                jnp.stack([g[1] for g in group]),
-                jnp.stack([g[2] for g in group]),
-                jnp.stack([jnp.asarray(g[3]) for g in group]))
-
-    groups = [raw[i:i + chunk] for i in range(0, warmup + n_frames, chunk)]
-    groups = [g for g in groups if len(g) == chunk]
-    warm_groups = max(1, warmup // chunk)
-    for g in groups[:warm_groups]:
-        state, _, _ = process_raw_frames_chunked(
-            state, *stack(g), cfg, chunk, piecewise_number=pieces)
-    jax.block_until_ready(state)
-
-    t_start = time.perf_counter()
-    for g in groups[warm_groups:]:
-        state, _, _ = process_raw_frames_chunked(
-            state, *stack(g), cfg, chunk, piecewise_number=pieces)
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t_start
-    return chunk * len(groups[warm_groups:]) / wall
 
 
 def main():
@@ -151,6 +98,7 @@ def main():
 
     from loam_livox_tpu.core.config import (
         SlamConfig,
+        bounded_scene_caps,
         precision_profile,
         realtime_profile,
         realtime_racing_profile,
@@ -173,22 +121,23 @@ def main():
         it[:pts_per_frame] = inten
         m[:pts_per_frame] = True
         raw.append((jnp.asarray(pts), jnp.asarray(it), jnp.asarray(m),
-                    jnp.float32(t0)))
+                    float(t0)))
 
     accel = dict(mapping={"init_accumulate_frames": 10})
-    fps = bench_config(SlamConfig().replace(**accel), raw, warmup, n_frames)
-    fps_prec = bench_config(precision_profile().replace(**accel),
+    fps = bench_pipeline(SlamConfig().replace(**accel), raw, warmup,
+                         n_frames)
+    fps_prec = bench_pipeline(precision_profile().replace(**accel),
+                              raw, warmup, n_frames)
+    fps_rt = bench_pipeline(realtime_profile().replace(**accel),
                             raw, warmup, n_frames)
-    fps_rt = bench_config(realtime_profile().replace(**accel),
-                          raw, warmup, n_frames)
-    fps_rt_racing = bench_config_racing(
+    fps_rt_racing = bench_pipeline(
         realtime_racing_profile().replace(**accel), raw, warmup, n_frames)
-    fps_chunked = bench_config_chunked(
-        SlamConfig().replace(**accel), raw, warmup, n_frames, chunk=8)
-    from loam_livox_tpu.core.config import bounded_scene_caps
-
-    fps_bounded = bench_config(
-        SlamConfig().replace(**accel, capacity=bounded_scene_caps()),
+    fps_chunked = bench_pipeline(
+        SlamConfig().replace(**accel, parallel={"dispatch_chunk": 8}),
+        raw, warmup, n_frames)
+    fps_bounded = bench_pipeline(
+        SlamConfig().replace(**accel, capacity={**bounded_scene_caps(),
+                                                "auto_schedule": 0}),
         raw, warmup, n_frames)
 
     print(json.dumps({

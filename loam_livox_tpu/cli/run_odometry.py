@@ -163,6 +163,10 @@ def main(argv=None):
     from ..runtime.pipeline import OdometryPipeline
 
     pipe = OdometryPipeline(cfg, log_dir=args.log_dir)
+    if args.follow:
+        # --follow streams poses as frames drain; the default lazy
+        # drain defers materialization to flush() (runtime/pipeline.py)
+        pipe.eager_drain = True
 
     followed = 0
 

@@ -225,6 +225,13 @@ class LoopClosureConfig:
     map_alignment_maximum_icp_iteration: int = 5
     map_alignment_inlier_threshold: float = 0.20
     map_alignment_if_dump_matching_result: int = 0
+    # Run the loop service on a background host thread (the reference's
+    # detached service_loop_detection thread, laser_mapping.hpp:1683-1686)
+    # so keyframe completion never stalls frame registration; 0 = inline
+    # (deterministic ordering for unit tests).  TPU-side execution is
+    # identical — only the host thread that enqueues the device programs
+    # changes.
+    if_loop_service_async: int = 1
     scene_alignment_maximum_residual_block: int = 3000
     # Histogram nonzero-ratio floors for loop candidates (reference
     # hardcodes 0.05/0.03 for 300-scan keyframes, laser_mapping.hpp:894-895)
@@ -321,6 +328,26 @@ class CapacityConfig:
     # measurably degrades ATE)
     hist_corner_capacity: int = 512
     hist_surf_capacity: int = 2048
+    # ---- adaptive capacity schedule (runtime/capacity_schedule.py) ----
+    # The capacities above are worst-case static shapes, but every
+    # padded op costs the CAPACITY, not the fill — and measured fills on
+    # bounded scenes are 1-5% of the worst case (the +36% bounded preset
+    # was this observation, frozen; the schedule makes it adaptive and
+    # large-world safe).  With auto_schedule=1 the sequential pipeline
+    # starts the fill-driven buffers at 1/schedule_start_scale of their
+    # configured size and GROWS them (×2 per step, one recompile each,
+    # monotonic, capped at the configured values) whenever a measured
+    # fill crosses schedule_watermark — so a bounded scene runs at
+    # right-sized shapes while a large-scale world converges to exactly
+    # the configured worst case.  Capacities are execution shapes, not
+    # behavior: growth triggers before meaningful truncation, and the
+    # scenario-matrix ATE is the regression guard.  The schedule is
+    # automatically inactive under a product mesh, explicit
+    # deterministic mode, racing/chunked dispatch, the grid engine, and
+    # raw odometry_step callers (shape-pinned contracts).
+    auto_schedule: int = 1
+    schedule_watermark: float = 0.7
+    schedule_start_scale: int = 16
     # matching-buffer FULL-rebuild cadence in frames: 0 = auto, 1 =
     # every frame, larger = that fixed cadence — the functional
     # encoding of the reference's async refresh thread

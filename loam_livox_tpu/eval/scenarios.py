@@ -250,7 +250,7 @@ def run_scenario(name: str, frames: int | None = None,
     wall = time.perf_counter() - t0
     est = pipe.trajectory.positions_array()
     gt = np.stack([sims[0].gt_pose_at(t)[1] for t in pipe.trajectory.times])
-    return {
+    out = {
         "scenario": name,
         "frames": n,
         "fps": round(n / wall, 2),
@@ -259,6 +259,15 @@ def run_scenario(name: str, frames: int | None = None,
         "accepted": int(sum(pipe.trajectory.accepted)),
         "loop_closed": bool(pipe.loop_closer and pipe.loop_closer.closed),
     }
+    # loop-closure PAYOFF: raw keyframe-pose ATE before/after the
+    # pose-graph solve + revisit-cloud NN consistency (the reference's
+    # optimized-path / corrected-map outputs, laser_mapping.hpp:845-871,
+    # :1091-1100 — scored against ground truth here)
+    from .loop_payoff import score_loop_payoff
+
+    out.update(score_loop_payoff(pipe.loop_closer, pipe.trajectory.times,
+                                 sims[0].gt_pose_at))
+    return out
 
 
 if __name__ == "__main__":

@@ -106,8 +106,10 @@ def save_loop_state(closer, path: str) -> None:
 
     for i, rec in enumerate(closer.keyframes):
         pack_record(f"kf{i}", rec)
-    for i, rec in enumerate(closer.waiting):
-        pack_record(f"wait{i}", rec)
+    for i, item in enumerate(closer.waiting):
+        # waiting entries are (record, cell-map snapshot) pairs; only
+        # the record persists — load re-attaches the restored live map
+        pack_record(f"wait{i}", item[0] if isinstance(item, tuple) else item)
     for i, acc in enumerate(closer.updating):
         arrays[f"acc{i}_keys"] = np.fromiter(
             sorted(acc.keys), np.int64, len(acc.keys))
@@ -117,8 +119,11 @@ def save_loop_state(closer, path: str) -> None:
         np.savez_compressed(f, **arrays)
 
 
-def load_loop_state(path: str, cfg):
-    """Restore a `LoopCloser` saved by `save_loop_state`."""
+def load_loop_state(path: str, cfg, cell_map=None):
+    """Restore a `LoopCloser` saved by `save_loop_state`.  `cell_map`
+    (the restored run's live full-cloud cell map) is attached to any
+    restored waiting keyframes; without one they are dropped at
+    processing time like a waiting-list overflow."""
     import json as _json
 
     from ..loop.keyframe import KeyframeDescriptor
@@ -158,7 +163,7 @@ def load_loop_state(path: str, cfg):
 
     closer.keyframes = [unpack_record(f"kf{i}")
                         for i in range(int(meta["n_keyframes"]))]
-    closer.waiting = [unpack_record(f"wait{i}")
+    closer.waiting = [(unpack_record(f"wait{i}"), cell_map)
                       for i in range(int(meta["n_waiting"]))]
     closer.updating = []
     for i, acc_meta in enumerate(meta["updating"]):
@@ -190,6 +195,12 @@ def save_pipeline(pipe, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     pipe.flush()
     save_state(pipe.state, os.path.join(directory, "odometry"))
+    if pipe.scheduler is not None:
+        # the adaptive capacity tier the state arrays are shaped at
+        # (runtime/capacity_schedule.py) — load_pipeline must rebuild
+        # cfg_active before restoring the pytree
+        with open(os.path.join(directory, "capacity_scale.txt"), "w") as f:
+            f.write(str(pipe.scheduler.scale))
     if pipe.loop_closer is not None:
         save_loop_state(pipe.loop_closer,
                         os.path.join(directory, "loop_state.npz"))
@@ -200,18 +211,38 @@ def load_pipeline(directory: str, cfg):
     from .pipeline import OdometryPipeline
 
     pipe = OdometryPipeline(cfg)
-    pipe.state = load_state(os.path.join(directory, "odometry"), cfg)
+    scale_path = os.path.join(directory, "capacity_scale.txt")
+    if pipe.scheduler is not None:
+        # restore the capacity tier the checkpointed arrays are shaped
+        # at (a checkpoint without a tier file predates the schedule —
+        # its arrays are at the full configured capacities, scale 1)
+        from .capacity_schedule import scaled_caps
+
+        if os.path.exists(scale_path):
+            with open(scale_path) as f:
+                pipe.scheduler.scale = max(1, int(f.read().strip()))
+        else:
+            pipe.scheduler.scale = 1
+        pipe.scheduler.cfg = scaled_caps(cfg, pipe.scheduler.scale)
+        pipe.cfg_active = pipe.scheduler.cfg
+    pipe.state = load_state(os.path.join(directory, "odometry"),
+                            pipe.cfg_active)
     if pipe.mesh is not None:
         from ..parallel.layout import shard_state
 
         pipe.state = shard_state(pipe.state, pipe.mesh)
     loop_path = os.path.join(directory, "loop_state.npz")
     if pipe.loop_closer is not None and os.path.exists(loop_path):
-        pipe.loop_closer = load_loop_state(loop_path, cfg)
+        pipe.loop_closer.shutdown()
+        pipe.loop_closer = load_loop_state(loop_path, cfg,
+                                           cell_map=pipe.state.cell_full)
     # state.frame_count counts odometry steps (= executed pieces); the
     # pipeline's frame index counts raw frames (odom_mode 0 runs only
-    # piece 0 per frame — pipeline.py bounds[:1])
-    pieces = (1 if (cfg.common.if_motion_deblur or cfg.common.odom_mode == 0)
+    # piece 0 per frame — pipeline.py bounds[:1]; the velodyne path
+    # runs exactly ONE step per raw frame regardless of
+    # piecewise_number, _process_raw_frame_body)
+    pieces = (1 if (cfg.common.if_motion_deblur or cfg.common.odom_mode == 0
+                    or cfg.common.lidar_type == "velodyne")
               else max(1, cfg.common.piecewise_number))
     pipe._frame_idx = int(pipe.state.frame_count) // pieces
     return pipe

@@ -3,12 +3,20 @@
 ``source/laser_mapping.hpp:874-1148``) plus the keyframe production in
 `process_new_scan` (``:1523-1564``).
 
-The reference runs this as a detached thread consuming finished
-keyframes; here it is a host object the pipeline calls after each
-odometry step — the heavy numerics (descriptors, similarity, scene
-alignment, pose-graph solve) are jitted device programs, the gates and
-bookkeeping are Python (they run once per keyframe, ~every 10 s of
-sensor time).
+Like the reference (detached `service_loop_detection` thread,
+``laser_mapping.hpp:1683-1686``), the heavy per-keyframe work —
+descriptor build, similarity scan, up-to-N scene-alignment ICPs, the
+pose-graph solve — runs on a BACKGROUND host thread consuming a
+bounded waiting list, so a keyframe completion never stalls frame
+registration: the frame thread only updates accumulators and enqueues
+(``loop_closure/if_loop_service_async``, default on; 0 = inline, the
+deterministic mode unit tests pin).  The waiting list is bounded by
+``maximum_keyframe_in_waiting_list`` with drop-oldest (reference
+:1552-1555) — a bound that only binds when the consumer can lag the
+producer, i.e. exactly in async mode.  The heavy numerics are jitted
+device programs either way; the worker's dispatches interleave with
+the frame programs at device granularity instead of serializing the
+whole candidate scan into one drain call.
 
 Behavioral parity:
 * overlapping keyframe accumulators: a new one every
@@ -96,6 +104,8 @@ class LoopClosureResult:
 
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, dump_dir: Optional[str] = None):
+        import threading
+
         self.cfg = cfg
         self.lc = cfg.loop_closure
         self.keyframes: List[KeyframeRecord] = []
@@ -104,8 +114,9 @@ class LoopCloser:
         # loop_closure/maximum_keyframe_in_waiting_list — beyond the
         # bound the OLDEST waiting keyframe is dropped unprocessed
         # (reference m_keyframe_need_precession_list pop_front,
-        # laser_mapping.hpp:1552-1555).
-        self.waiting: List[KeyframeRecord] = []
+        # laser_mapping.hpp:1552-1555).  Entries carry the cell map
+        # snapshot (functional pytree) the keyframe completed against.
+        self.waiting: List = []
         self.dropped_keyframes = 0
         self.closed = False
         self.result: Optional[LoopClosureResult] = None
@@ -119,17 +130,52 @@ class LoopCloser:
         # cell statistics source (common/if_update_mean_and_cov_incrementally)
         self._incremental = bool(cfg.common.if_update_mean_and_cov_incrementally)
         self._pair_idx = 0  # alignment-dump pair counter
+        # Background worker (reference: the detached
+        # service_loop_detection thread, laser_mapping.hpp:1683-1686).
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._busy = False
+        self._stop = False
+        self._worker: Optional[threading.Thread] = None
+        if self.lc.if_loop_service_async:
+            self._worker = threading.Thread(
+                target=self._service_loop, name="loop_detection",
+                daemon=True)
+            self._worker.start()
+            # join the worker at GC/interpreter exit — a daemon thread
+            # torn down inside Condition.wait aborts the process
+            # ("FATAL: exception not rethrown") under some runtimes
+            import weakref
 
-    # ---- per-frame accumulation -----------------------------------------
+            self._finalizer = weakref.finalize(
+                self, LoopCloser._shutdown_parts,
+                self._lock, self._work, self._worker,
+                weakref.ref(self))
+
+    @staticmethod
+    def _shutdown_parts(lock, cond, worker, self_ref) -> None:
+        obj = self_ref()
+        with lock:
+            if obj is not None:
+                obj._stop = True
+            cond.notify_all()
+        if obj is None:
+            # object already collected: wake the worker; it exits via
+            # its own stop/closed checks once notified
+            return
+        worker.join(timeout=5.0)
+
+    # ---- per-frame accumulation (frame thread) ---------------------------
     def on_frame(self, cell_full: CellMap, touched: jax.Array,
                  q_w, t_w, frame_idx: int) -> Optional[KeyframeRecord]:
-        """Feed one registered frame's touched-cell mask.  Returns a
-        completed keyframe (already analyzed) when one closes."""
+        """Feed one registered frame's touched-cell mask.  Returns the
+        completed keyframe record when one closes (in async mode it is
+        analyzed later by the worker)."""
         if self.closed:
             return None
-        tkeys = np.asarray(cell_full.keys)[np.asarray(touched)]
+        tkeys = np.asarray(cell_full.keys)[np.asarray(touched)].tolist()
         for acc in self.updating:
-            acc.keys.update(int(k) for k in tkeys)
+            acc.keys.update(tkeys)
             acc.frames += 1
 
         completed = None
@@ -143,15 +189,80 @@ class LoopCloser:
             # reference order (laser_mapping.hpp:1541,1552-1555): enqueue,
             # THEN drop the oldest if the waiting list exceeds the bound,
             # then the service consumes from the front.
-            self.waiting.append(completed)
-            if len(self.waiting) > self.lc.maximum_keyframe_in_waiting_list:
-                self.waiting.pop(0)
-                self.dropped_keyframes += 1
-            while self.waiting:
-                self.process_keyframe(self.waiting.pop(0), cell_full)
-        if self.updating[-1].frames >= self.lc.scans_between_two_keyframe:
+            with self._lock:
+                self.waiting.append((completed, cell_full))
+                if (len(self.waiting)
+                        > self.lc.maximum_keyframe_in_waiting_list):
+                    self.waiting.pop(0)
+                    self.dropped_keyframes += 1
+                self._work.notify()
+            if self._worker is None:
+                self._drain_waiting()
+        if (not self.updating or self.updating[-1].frames
+                >= self.lc.scans_between_two_keyframe):
             self.updating.append(_Accumulator())
         return completed
+
+    def _drain_waiting(self) -> None:
+        """Consume the waiting list inline (sync mode / final drain)."""
+        while True:
+            with self._lock:
+                if not self.waiting or self.closed:
+                    return
+                rec, m = self.waiting.pop(0)
+                if m is None:         # restored without a live map
+                    self.dropped_keyframes += 1
+                    continue
+                self._busy = True
+            try:
+                self.process_keyframe(rec, m)
+            finally:
+                with self._lock:
+                    self._busy = False
+                    self._work.notify_all()
+
+    def _service_loop(self) -> None:
+        """Worker thread: pop completed keyframes, analyze, scan for a
+        loop; exits once a loop is accepted (one-shot `if_end`,
+        reference :1110,1143-1147) or on stop."""
+        while True:
+            with self._lock:
+                while not self.waiting and not self._stop and not self.closed:
+                    self._work.wait()
+                if self._stop or self.closed:
+                    return
+                rec, m = self.waiting.pop(0)
+                if m is None:         # restored without a live map
+                    self.dropped_keyframes += 1
+                    continue
+                self._busy = True
+            try:
+                self.process_keyframe(rec, m)
+            finally:
+                with self._lock:
+                    self._busy = False
+                    self._work.notify_all()
+
+    def drain(self, timeout: float | None = None) -> None:
+        """Block until every queued keyframe has been processed (or the
+        service closed).  The pipeline calls this from `flush()` so
+        results are complete when the trajectory is read."""
+        if self._worker is None:
+            self._drain_waiting()
+            return
+        with self._lock:
+            self._work.wait_for(
+                lambda: self.closed or (not self.waiting
+                                        and not self._busy),
+                timeout=timeout)
+
+    def shutdown(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._work.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5.0)
+            self._worker = None
 
     # ---- keyframe analysis + loop scan ----------------------------------
     def _member(self, m: CellMap, rec: KeyframeRecord) -> jax.Array:

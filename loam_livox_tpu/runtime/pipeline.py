@@ -159,15 +159,23 @@ def process_raw_frames_chunked(state, pts, inten, mask, t0s,
     K·pieces, time-ordered.
     """
 
-    def frame_step(st, inp):
+    def frame_step(carry, inp):
+        st, touched = carry
         p, it, m, t0 = inp
         st, reg, poses = _process_raw_frame_body(
             st, p, it, m, t0, cfg, piecewise_number)
-        return st, (poses, reg)
+        # OR-fold the touched-cell masks across the chunk: commit_frame
+        # REPLACES last_touched per frame, but the chunk drains as ONE
+        # pending entry, so keyframe member-cell bookkeeping must see
+        # every frame's touched cells (mirrors touched_any in
+        # runtime/batched.odometry_step_batched).
+        touched = jnp.logical_or(touched, st.last_touched)
+        return (st, touched), (poses, reg)
 
-    state, (poses, regs) = lax.scan(
-        frame_step, state,
+    (state, touched_any), (poses, regs) = lax.scan(
+        frame_step, (state, jnp.zeros_like(state.last_touched)),
         (pts, inten, mask, t0s.astype(jnp.float32)))
+    state = state._replace(last_touched=touched_any)
     # (K, P, ...) → (K·P, ...) in time order
     poses = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[2:]), poses)
@@ -249,7 +257,21 @@ class OdometryPipeline:
         from ..utils.logging import FileLogger, SpanTimer
 
         self.cfg = cfg
-        self.state: OdometryState = init_state(cfg)
+        # Adaptive capacity schedule (runtime/capacity_schedule.py):
+        # when active, the jitted step runs at right-sized capacities
+        # (cfg_active) that grow toward cfg's worst case as measured
+        # fills demand — self.cfg keeps the caller's semantics, shapes
+        # come from cfg_active.
+        from .capacity_schedule import CapacityScheduler, schedule_active
+
+        self.scheduler = None
+        self.cfg_active = cfg
+        if schedule_active(cfg, None):
+            self.scheduler = CapacityScheduler(cfg)
+            self.cfg_active = self.scheduler.cfg
+        self._sched_interval = 4      # frames between fill checks
+        self._sched_countdown = self._sched_interval
+        self.state: OdometryState = init_state(self.cfg_active)
         # Multi-chip product mode (parallel/mesh_devices > 1): construct
         # the 1-D mesh once and place the state with the product layout
         # (parallel.layout) — map/matching-buffer point axes and the
@@ -313,6 +335,10 @@ class OdometryPipeline:
                 "parallel/dispatch_chunk and parallel/frame_batch are "
                 "mutually exclusive (sequential chunking vs racing)")
         self._batch_buf: List = []
+        self._lazy: List = []          # lazily-drained device poses
+        # Force per-drain host materialization (live consumers of the
+        # trajectory between flushes, e.g. the CLI's --follow stream).
+        self.eager_drain = False
         self._pcd_dir = None
         if cfg.common.if_save_to_pcd_files:
             import os
@@ -321,11 +347,19 @@ class OdometryPipeline:
             os.makedirs(self._pcd_dir, exist_ok=True)
 
     def process_raw(self, xyz: np.ndarray, intensity: np.ndarray,
-                    base_time: float) -> None:
+                    base_time: float, mask: np.ndarray | None = None
+                    ) -> None:
         """One raw sensor frame → piecewise feature frames → odometry
         (one fused device program).  With pipeline_depth > 1 the
         results are observed up to depth frames later; call `flush()`
-        before reading the trajectory."""
+        before reading the trajectory.
+
+        Fast path: pass `xyz`/`intensity` already PADDED to
+        ``capacity.max_raw_points`` as device (jax) arrays together
+        with their validity `mask` to skip the host-side pad + copy —
+        a fresh host→device transfer costs ms-scale latency through a
+        remote-TPU tunnel, a real share of the frame budget at
+        real-time rates."""
         caps = self.cfg.capacity
         # register this pipeline's mesh (or None) and deterministic-
         # numerics flag so library code can harden/pin the solver chain
@@ -339,13 +373,20 @@ class OdometryPipeline:
         set_active_mesh(self.mesh,
                         deterministic=(None if det < 0 else bool(det)))
         n = caps.max_raw_points
-        pts = np.zeros((n, 3), np.float32)
-        inten = np.zeros((n,), np.float32)
-        mask = np.zeros((n,), bool)
-        m = min(len(xyz), n)
-        pts[:m] = xyz[:m]
-        inten[:m] = intensity[:m]
-        mask[:m] = True
+        if (mask is not None and isinstance(xyz, jax.Array)
+                and xyz.shape == (n, 3)):
+            pts, inten = xyz, intensity
+            m = n
+            raw_np = None
+        else:
+            pts = np.zeros((n, 3), np.float32)
+            inten = np.zeros((n,), np.float32)
+            mask = np.zeros((n,), bool)
+            m = min(len(xyz), n)
+            pts[:m] = xyz[:m]
+            inten[:m] = intensity[:m]
+            mask[:m] = True
+            raw_np = pts[:m] if self._pcd_dir else None
 
         from ..utils import logging as L
 
@@ -354,12 +395,14 @@ class OdometryPipeline:
             self._batch_buf.append((pts, inten, mask, base_time))
             if len(self._batch_buf) == self.frame_batch:
                 self._dispatch_batch()
+                self._maybe_grow_capacity()
             self._drain_to_depth()
             return
         if self.dispatch_chunk > 1:
             self._batch_buf.append((pts, inten, mask, base_time))
             if len(self._batch_buf) == self.dispatch_chunk:
                 self._dispatch_chunk()
+                self._maybe_grow_capacity()
             self._drain_to_depth()
             return
         # Motion deblur replaces piecewise splitting (reference:
@@ -377,18 +420,47 @@ class OdometryPipeline:
 
             inputs = replicate(inputs, self.mesh)
         self.state, reg, poses = process_raw_frame(
-            self.state, *inputs, self.cfg,
+            self.state, *inputs, self.cfg_active,
             piecewise_number=pieces,
         )
         # Defer the device→host sync: park the (device-array) results
         # and the state snapshot this frame produced.  The snapshot is
         # a functional pytree — later steps never mutate it, so loop
         # bookkeeping done at drain time sees exactly frame t's map.
-        self._pending.append(
-            (self._frame_idx, self.state, reg, poses,
-             pts[:m] if self._pcd_dir else None))
+        self._park(self._frame_idx, self.state, reg, poses, raw_np)
         self._frame_idx += 1
         self._drain_to_depth()
+        self._maybe_grow_capacity()
+
+    def _park(self, frame_idx, state, reg, poses, raw_np=None) -> None:
+        """Queue a dispatched frame's (device) results for drain, and
+        START their device→host copies now — by drain time the values
+        are host-resident and reading them costs no sync (a blocking
+        read through a remote-TPU tunnel is ms-scale per round trip)."""
+        for x in poses:
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending.append((frame_idx, state, reg, poses, raw_np))
+
+    def _maybe_grow_capacity(self) -> None:
+        """Adaptive capacity schedule hook: every few frames, measure
+        buffer fills and grow the active capacities if a watermark was
+        crossed (one recompile per growth; exponential check backoff
+        once fills settle, zero overhead once at the configured max)."""
+        if self.scheduler is None or self.scheduler.at_max():
+            return
+        self._sched_countdown -= 1
+        if self._sched_countdown > 0:
+            return
+        self.state, cfg_new, grew = self.scheduler.maybe_grow(self.state)
+        if grew:
+            self.cfg_active = cfg_new
+            self._sched_interval = 4
+        else:
+            self._sched_interval = min(self._sched_interval * 2, 64)
+        self._sched_countdown = self._sched_interval
 
     def _drain_to_depth(self) -> None:
         if self.pipeline_depth == 1:
@@ -402,6 +474,15 @@ class OdometryPipeline:
         """One vmapped dispatch over the accumulated raw-frame group
         (runtime/batched.py racing registration) — or, when the motion
         guard trips, the same frames sequentially."""
+        # Re-register the active mesh: a partial tail group (flush)
+        # compiles a NEW trace, which must not read another pipeline's
+        # mesh/deterministic globals (several pipelines with different
+        # meshes may interleave in one process — parallel/mesh.py).
+        from ..parallel.mesh import set_active_mesh
+
+        det = self.cfg.parallel.deterministic
+        set_active_mesh(self.mesh,
+                        deterministic=(None if det < 0 else bool(det)))
         guard = self.cfg.parallel.batch_motion_guard_t
         if guard > 0 and self._last_motion > guard:
             # fast motion: racing-lane staleness costs accuracy; fall
@@ -415,16 +496,15 @@ class OdometryPipeline:
 
                     inputs = replicate(inputs, self.mesh)
                 self.state, reg, poses = process_raw_frame(
-                    self.state, *inputs, self.cfg,
+                    self.state, *inputs, self.cfg_active,
                     piecewise_number=self._batch_pieces)
-                self._pending.append(
-                    (self._frame_idx, self.state, reg, poses, None))
+                self._park(self._frame_idx, self.state, reg, poses)
                 self._frame_idx += 1
             return
         group = len(self._batch_buf)
-        pts = jnp.asarray(np.stack([b[0] for b in self._batch_buf]))
-        inten = jnp.asarray(np.stack([b[1] for b in self._batch_buf]))
-        mask = jnp.asarray(np.stack([b[2] for b in self._batch_buf]))
+        pts = jnp.stack([b[0] for b in self._batch_buf])
+        inten = jnp.stack([b[1] for b in self._batch_buf])
+        mask = jnp.stack([b[2] for b in self._batch_buf])
         t0s = jnp.asarray(np.asarray([b[3] for b in self._batch_buf],
                                      np.float32))
         self._batch_buf = []
@@ -434,21 +514,27 @@ class OdometryPipeline:
 
             inputs = replicate(inputs, self.mesh)
         self.state, regs, poses = process_raw_frames_batched(
-            self.state, *inputs, self.cfg, group,
+            self.state, *inputs, self.cfg_active, group,
             pieces=self._batch_pieces)
         last_reg = jax.tree_util.tree_map(lambda x: x[-1], regs)
-        self._pending.append(
-            (self._frame_idx, self.state, last_reg, poses, None))
+        self._park(self._frame_idx, self.state, last_reg, poses)
         self._frame_idx += group
 
     def _dispatch_chunk(self) -> None:
         """One sequential chunked dispatch over the accumulated raw
         frames (process_raw_frames_chunked — per-frame semantics, one
         device program)."""
+        # see _dispatch_batch: tail-group traces must pin THIS
+        # pipeline's mesh/deterministic globals
+        from ..parallel.mesh import set_active_mesh
+
+        det = self.cfg.parallel.deterministic
+        set_active_mesh(self.mesh,
+                        deterministic=(None if det < 0 else bool(det)))
         k = len(self._batch_buf)
-        pts = jnp.asarray(np.stack([b[0] for b in self._batch_buf]))
-        inten = jnp.asarray(np.stack([b[1] for b in self._batch_buf]))
-        mask = jnp.asarray(np.stack([b[2] for b in self._batch_buf]))
+        pts = jnp.stack([b[0] for b in self._batch_buf])
+        inten = jnp.stack([b[1] for b in self._batch_buf])
+        mask = jnp.stack([b[2] for b in self._batch_buf])
         t0s = jnp.asarray([b[3] for b in self._batch_buf], jnp.float32)
         self._batch_buf = []
         pieces = (1 if self.cfg.common.if_motion_deblur
@@ -459,9 +545,8 @@ class OdometryPipeline:
 
             inputs = replicate(inputs, self.mesh)
         self.state, last_reg, poses = process_raw_frames_chunked(
-            self.state, *inputs, self.cfg, k, piecewise_number=pieces)
-        self._pending.append(
-            (self._frame_idx, self.state, last_reg, poses, None))
+            self.state, *inputs, self.cfg_active, k, piecewise_number=pieces)
+        self._park(self._frame_idx, self.state, last_reg, poses)
         self._frame_idx += k
 
     def flush(self) -> None:
@@ -475,12 +560,42 @@ class OdometryPipeline:
                 self._dispatch_batch()
         while self._pending:
             self._drain_one()
+        if self.loop_closer is not None:
+            # wait for the background loop-detection worker to finish
+            # every queued keyframe (reference: the detached thread's
+            # results are only needed when the loop output is read)
+            self.loop_closer.drain()
+        if self._lazy:
+            # one batched device→host materialization of every lazily
+            # drained frame (see _drain_one)
+            host = jax.device_get(self._lazy)
+            self._lazy = []
+            for q_ws, t_ws, accepted, tmins in host:
+                for p in range(len(tmins)):
+                    self.trajectory.times.append(float(tmins[p]))
+                    self.trajectory.positions.append(np.asarray(t_ws[p]))
+                    self.trajectory.quaternions.append(np.asarray(q_ws[p]))
+                    self.trajectory.accepted.append(bool(accepted[p]))
 
     def _drain_one(self) -> None:
         from ..utils import logging as L
 
         frame_idx, state, reg, poses, raw_pts = self._pending.popleft()
-        q_ws, t_ws, accepted, tmins = (np.asarray(x) for x in poses)
+        if (self.loop_closer is None and not self.logger.enabled()
+                and self._pcd_dir is None and self.frame_batch == 1
+                and not self.eager_drain):
+            # LAZY drain: nothing downstream needs the values on the
+            # host this frame — park the device arrays and let flush()
+            # materialize the whole trajectory in one device→host pass.
+            # A per-frame np.asarray here would SYNC the dispatch queue
+            # (ms-scale per frame through a remote-TPU tunnel) and
+            # serialize host and chip.
+            self._lazy.append(poses)
+            return
+        # one batched device→host transfer (per-array np.asarray reads
+        # each pay a full round trip through a remote-TPU tunnel)
+        q_ws, t_ws, accepted, tmins = (
+            np.asarray(x) for x in jax.device_get(poses))
         # feed the batched-mode motion guard: largest per-step
         # translation observed in this drain (stale by pipeline depth,
         # which is exactly the staleness the guard models)
@@ -572,7 +687,8 @@ class OdometryPipeline:
             from ..parallel.layout import shard_frame
 
             frame = shard_frame(frame, self.mesh)
-        self.state, reg = odometry_step(self.state, frame, self.cfg)
+        self.state, reg = odometry_step(self.state, frame, self.cfg_active)
+        self._maybe_grow_capacity()
         t = float(frame.time_min)
         self.trajectory.times.append(t)
         self.trajectory.positions.append(np.asarray(reg.t_w))

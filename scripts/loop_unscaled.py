@@ -129,6 +129,27 @@ def main():
         out["loop"] = {"his": closer.result.his_idx,
                        "cur": closer.result.cur_idx,
                        "icp_score": round(closer.result.icp_score, 4)}
+        # ---- loop-closure PAYOFF (VERDICT r4 item 2): the optimized
+        # path and corrected map scored, not just produced (reference
+        # outputs: laser_mapping.hpp:845-871, :1091-1100) -------------
+        from loam_livox_tpu.eval.loop_payoff import score_loop_payoff
+
+        payoff = score_loop_payoff(closer, pipe.trajectory.times,
+                                   sim.gt_pose_at)
+        out["payoff"] = payoff
+        # keyframe ground-truth positions — lets the CI replay guard
+        # re-score a replayed pose-graph solve against the same truth
+        times = pipe.trajectory.times
+        out["kf_gt_positions"] = [
+            [round(float(v), 6) for v in
+             sim.gt_pose_at(times[min(int(k.ending_frame_idx),
+                                      len(times) - 1)])[1]]
+            for k in closer.keyframes]
+        assert (payoff["ate_kf_raw_after_loop"]
+                < payoff["ate_kf_raw_before_loop"]), payoff
+        if "revisit_nn_residual_after" in payoff:
+            assert (payoff["revisit_nn_residual_after"]
+                    < payoff["revisit_nn_residual_before"]), payoff
     # the decisive gate values actually measured, for the write-up
     out["gate_trace_tail"] = closer.gate_trace[-8:]
     out["gate_trace_len"] = len(closer.gate_trace)
@@ -142,8 +163,14 @@ def main():
     # strip the full-cloud snapshots (the guard replays gates +
     # scene-alignment ICP, which read descriptors + line/plane
     # snapshots only; full clouds would bloat the committed artifact)
+    # and round the kept clouds to 1 mm — semantically inert at 1 cm
+    # sensor noise, and the zeroed mantissas compress ~3× smaller
     for rec in closer.keyframes:
         rec.snap_full = None
+        for s in ("snap_line", "snap_plane"):
+            v = getattr(rec, s)
+            if v is not None:
+                setattr(rec, s, np.round(v * 1024.0) / 1024.0)
     state_path = os.path.join(os.path.dirname(__file__),
                               "loop_unscaled_state.npz")
     save_loop_state(closer, state_path)

@@ -83,6 +83,7 @@ class TestLoopServiceCheckpoint:
         for i in range(12):
             q, t = drifted_circle_pose(i, n=12)
             ref.on_frame(m, touched, q, t, i)
+            ref.drain()     # settle the async loop-service worker
             if ref.closed:
                 closed_at = i
                 break
@@ -94,6 +95,7 @@ class TestLoopServiceCheckpoint:
         for i in range(cut):
             q, t = drifted_circle_pose(i, n=12)
             p1.on_frame(m, touched, q, t, i)
+        p1.drain()
         assert not p1.closed
         assert len(p1.keyframes) > 0, "checkpoint must carry keyframes"
         path = str(tmp_path / "loop_ckpt.npz")
@@ -106,6 +108,7 @@ class TestLoopServiceCheckpoint:
         for i in range(cut, 12):
             q, t = drifted_circle_pose(i, n=12)
             p2.on_frame(m, touched, q, t, i)
+            p2.drain()
             if p2.closed:
                 break
         assert p2.closed, (

@@ -86,6 +86,7 @@ class TestWaitingListBound:
                                       BIG_REVISIT, max_new=16)
             closer.on_frame(m, touched, np.array([1.0, 0, 0, 0]),
                             np.zeros(3), i)
+        closer.drain()      # settle the background loop-service worker
         return closer
 
     def test_zero_bound_drops_every_completed_keyframe(self):

@@ -60,6 +60,7 @@ class TestKeyframeCadence:
             kf = svc.on_frame(m, touched, q, t, i)
             if kf is not None:
                 done.append(kf)
+        svc.drain()     # async worker fills descriptors in background
         # scans_of_each=3, between=1 → first completes at frame 3,
         # then one per frame
         assert len(done) == 6
@@ -77,6 +78,7 @@ class TestLoopDetection:
             svc.on_frame(m, touched, q, t, i)
             if svc.closed:
                 break
+        svc.drain()     # async worker scans in background
         assert svc.closed, "loop never accepted"
         res = svc.result
         assert res.accepted
@@ -95,6 +97,7 @@ class TestLoopDetection:
             svc.on_frame(m, touched, q, t, i)
             if svc.closed:
                 break
+        svc.drain()
         assert svc.closed
         pts = svc.refine_keyframe_cloud(m, 0)
         assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 50
@@ -146,3 +149,37 @@ class TestLoopDetection:
             t=np.asarray([50.0, 0, 0], np.float32), ending_frame_idx=10)
         svc.process_keyframe(rec_b, m)
         assert not svc.closed
+
+
+class TestAsyncWaitingList:
+    def test_drop_oldest_engages_when_worker_lags(self, monkeypatch):
+        """The waiting-list bound only binds when the consumer can lag
+        the producer (reference pop_front drop,
+        laser_mapping.hpp:1552-1555): stall the worker and feed
+        completions faster than it drains — the oldest keyframes must
+        be dropped unprocessed, the newest processed."""
+        import time as _time
+
+        from loam_livox_tpu.runtime.loop_service import LoopCloser
+
+        cfg = service_cfg(if_enable_loop_closure=0)
+        cfg = cfg.replace(loop_closure={
+            "maximum_keyframe_in_waiting_list": 2,
+            "scans_of_each_keyframe": 1,
+            "scans_between_two_keyframe": 1})
+        svc = LoopCloser(cfg)
+        real = LoopCloser.process_keyframe
+
+        def slow(self, rec, m):
+            _time.sleep(0.15)
+            real(self, rec, m)
+
+        monkeypatch.setattr(LoopCloser, "process_keyframe", slow)
+        m, touched = build_world_map()
+        for i in range(8):      # 8 completions in ~no time
+            q, t = drifted_circle_pose(i)
+            svc.on_frame(m, touched, q, t, i)
+        svc.drain()
+        assert svc.dropped_keyframes > 0
+        assert len(svc.keyframes) >= 1
+        assert len(svc.keyframes) + svc.dropped_keyframes == 8

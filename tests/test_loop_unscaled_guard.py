@@ -126,3 +126,46 @@ def test_replay_gate_trace_matches_recorded(artifact):
         for k in ("sim_plane", "sim_line", "score"):
             if k in want:
                 assert abs(float(got[k]) - float(want[k])) < 0.02, (k, got, want)
+
+
+def test_replay_loop_payoff_reduces_drift(artifact):
+    """The loop's PAYOFF, not just its firing: the replayed pose-graph
+    solve must reduce the keyframe poses' RAW (unaligned) ATE against
+    the recorded ground truth (reference output: the optimized path it
+    republishes, laser_mapping.hpp:845-871)."""
+    if "kf_gt_positions" not in artifact:
+        pytest.skip("artifact predates payoff scoring "
+                    "(re-run scripts/loop_unscaled.py)")
+
+    from loam_livox_tpu.eval.ate import ate_rmse
+    from loam_livox_tpu.map.cell_map import empty_cell_map
+    from loam_livox_tpu.runtime.checkpoint import load_loop_state
+    from loam_livox_tpu.runtime.loop_service import LoopCloser
+
+    cfg = _load_run_cfg()
+    saved = load_loop_state(STATE, cfg)
+    m = empty_cell_map(cfg.mapping.cell_resolution * 0.5,
+                       cfg.capacity.cell_capacity,
+                       cfg.capacity.cell_point_capacity)
+    replay = LoopCloser(cfg)
+    for rec in saved.keyframes:
+        replay.keyframes.append(rec)
+        if not replay.closed:
+            replay._scan_for_loop(m)
+    assert replay.closed
+
+    gt = np.asarray(artifact["kf_gt_positions"], np.float64)
+    kt = np.stack([k.t for k in saved.keyframes])
+    n = min(len(gt), len(kt))
+    before = ate_rmse(kt[:n], gt[:n], align=False)
+    after = ate_rmse(np.asarray(replay.result.t_opt)[:n], gt[:n],
+                     align=False)
+    assert after < before, (before, after)
+    # and the recorded live-run payoff held the same inequality
+    payoff = artifact.get("payoff", {})
+    if payoff:
+        assert (payoff["ate_kf_raw_after_loop"]
+                < payoff["ate_kf_raw_before_loop"])
+        if "revisit_nn_residual_after" in payoff:
+            assert (payoff["revisit_nn_residual_after"]
+                    < payoff["revisit_nn_residual_before"])

@@ -62,6 +62,7 @@ class TestVelodynePipeline:
             shift = np.array([0.02 * i, 0.01 * i, 0.0], np.float32)
             pts = (base - shift).astype(np.float32)
             pipe.process_raw(pts, np.ones(len(pts), np.float32), 0.1 * i)
+        pipe.flush()          # lazy drain materializes at flush
         assert len(pipe.trajectory.positions) == 4
         est = pipe.trajectory.positions[-1]
         assert np.all(np.isfinite(est))
