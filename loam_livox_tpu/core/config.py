@@ -258,6 +258,18 @@ class ParallelConfig:
     # test's 1-device reference runs so both programs share the
     # hardened numerics).
     deterministic: int = -1
+    # Solver-chain share of the deterministic hardening (the
+    # barrier/tree-sum paths in registration/gauss_newton + residuals):
+    # -1/1 = harden whenever `deterministic` is active (the shipped
+    # contract configuration); 0 = relax the SOLVER chain only — the
+    # bitwise contract leg is unaffected (registration never executes
+    # in the contractive init window), the chaos-envelope leg holds
+    # empirically (tests/test_parallel_mode.py re-run with the
+    # relaxation), and the H/g build returns to XLA's fused einsums
+    # (the measured 13.1% single-chip deterministic-mode tax is mostly
+    # this chain).  Map-build hardening (exact kNN selection,
+    # replication pinning) stays tied to `deterministic`.
+    det_solver: int = -1
     # Frame-group size for batched racing registration
     # (runtime/batched.py) — the TPU-native re-expression of the
     # reference's `common/maximum_parallel_thread` worker pool
@@ -507,6 +519,13 @@ def bounded_scene_caps() -> dict:
     reference's CYT/ZYM class of capture): every static-shape buffer
     sized ~4× its measured P99 fill on such streams instead of the
     worst-case-world defaults.
+
+    SUPERSEDED by the adaptive capacity schedule
+    (``capacity.auto_schedule``, runtime/capacity_schedule.py), which
+    right-sizes the same buffers dynamically and stays large-world
+    safe; this frozen preset remains as the round-4 comparison point
+    and for deployments that want fixed shapes with no growth
+    recompiles.
 
     Capacities are TPU static shapes, not behavior — but every padded
     op (sorts, gathers, residual sets; the dense kNN pays the full

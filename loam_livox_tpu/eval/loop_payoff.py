@@ -87,3 +87,38 @@ def score_loop_payoff(closer, times, gt_pose_at) -> dict:
         out["revisit_nn_residual_before"] = round(nn_before, 4)
         out["revisit_nn_residual_after"] = round(nn_after, 4)
     return out
+
+
+#: measured noise floor of the scene-alignment MEASUREMENT itself on
+#: this stack (plane-only coarse-to-fine at 0.1 m resolution over 1 cm
+#: clouds): ~0.2 m of implied pose correction, dominated by the
+#: alignment's 1-2° rotation error times the keyframe position's lever
+#: arm — see RESULTS.md "Loop closure" forensics.
+ALIGNMENT_FLOOR_M = 0.2
+
+
+def payoff_verdict(payoff: dict, floor: float = ALIGNMENT_FLOOR_M) -> dict:
+    """Regime-aware judgement of a scored loop payoff.
+
+    * ``drift`` regime (pre-solve raw keyframe ATE ≥ 2× the alignment
+      floor): the solve must STRICTLY reduce it — this is the regime
+      loop closure exists for.
+    * ``floor`` regime (drift at/below the measurement floor): no
+      correction can beat noise it cannot see; require the solve to be
+      bounded (|ΔATE| ≤ floor) and the revisit-cloud consistency not to
+      degrade — i.e. the loop must do no material harm.
+    """
+    before = float(payoff["ate_kf_raw_before_loop"])
+    after = float(payoff["ate_kf_raw_after_loop"])
+    out = {"floor_m": floor}
+    if before >= 2.0 * floor:
+        out["regime"] = "drift"
+        out["ok"] = after < before
+    else:
+        out["regime"] = "floor"
+        ok = abs(after - before) <= floor
+        if "revisit_nn_residual_after" in payoff:
+            ok = ok and (payoff["revisit_nn_residual_after"]
+                         <= payoff["revisit_nn_residual_before"] + 0.02)
+        out["ok"] = ok
+    return out

@@ -86,8 +86,22 @@ def align_keyframes(
     cfg: SlamConfig,
     rng_key=None,
     work_capacity: int = 8192,
+    init_t=None,
 ) -> AlignmentResult:
     """Align keyframe B (tgt_*) onto keyframe A (src_*).
+
+    ``init_t`` — initial translation; None = the reference's
+    center-difference seed (``scene_alignment.hpp:303-306``).  Callers
+    whose two clouds already share a frame (the loop service: both
+    keyframes live in the SAME drifted world frame, so the expected
+    misalignment is the accumulated DRIFT, sub-meter) should pass
+    zeros: the center difference is dominated by coverage ASYMMETRY
+    between the keyframes (measured 4.8 m on the unscaled artifact's
+    accepted revisit) and seeds the plane-only ICP into wrong basins
+    that can even OUT-SCORE the true alignment on repetitive structure
+    (measured: 0.175 for a 1.67 m phantom correction vs 0.194 for the
+    true 0.18 m one — both under the 0.20 accept gate; the phantom
+    made the revisit clouds WORSE, 0.76 → 1.04 m mean NN residual).
 
     Host-level coarse-to-fine driver over jitted registrations: three
     fixed scales with a Python early-break — mirrors the reference's
@@ -103,7 +117,8 @@ def align_keyframes(
         rng_key = jax.random.PRNGKey(7)
 
     q = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
-    t = (center_a - center_b).astype(jnp.float32)
+    t = ((center_a - center_b).astype(jnp.float32)
+         if init_t is None else jnp.asarray(init_t, jnp.float32))
     inlier = jnp.float32(1e9)
 
     scales_run = 0

@@ -39,15 +39,26 @@ def make_mesh(n_devices: Optional[int] = None,
 # search (kNN over the sharded reference axis) stays distributed.
 _ACTIVE_MESH: list = [None]
 _DETERMINISTIC: list = [False]
+_DET_SOLVER: list = [True]
 
 
 def set_active_mesh(mesh: Optional[Mesh],
-                    deterministic: Optional[bool] = None) -> None:
+                    deterministic: Optional[bool] = None,
+                    det_solver: Optional[bool] = None) -> None:
     """Register the product mesh (or None) and the layout-deterministic
-    numerics flag.  `deterministic=None` follows the mesh (AUTO)."""
+    numerics flags.  `deterministic=None` follows the mesh (AUTO).
+    `det_solver` additionally gates the SOLVER-CHAIN hardening
+    (gauss_newton / residuals barrier+tree-sum paths): the bitwise
+    contract leg never executes the solver (registration is disabled
+    throughout the contractive init window), so relaxing only the
+    solver chain keeps the bitwise leg exact while returning the H/g
+    build to XLA's fused einsums — the chaos-envelope leg re-verifies
+    the relaxation empirically (tests/test_parallel_mode.py).
+    None = harden whenever `deterministic` is active."""
     _ACTIVE_MESH[0] = mesh
     _DETERMINISTIC[0] = (mesh is not None if deterministic is None
                          else bool(deterministic))
+    _DET_SOLVER[0] = True if det_solver is None else bool(det_solver)
 
 
 def active_mesh() -> Optional[Mesh]:
@@ -62,12 +73,23 @@ def det_active() -> bool:
     return _DETERMINISTIC[0]
 
 
+def det_solver_active() -> bool:
+    """Trace-time flag for the SOLVER-CHAIN hardening (see
+    set_active_mesh): on when layout determinism is active AND the
+    solver hardening has not been relaxed
+    (`parallel/det_solver`)."""
+    return _DETERMINISTIC[0] and _DET_SOLVER[0]
+
+
 def det_barrier(tree):
-    """`lax.optimization_barrier` in deterministic mode, identity
-    otherwise.  Read at TRACE time — callers' traces are keyed by a
-    cfg that carries parallel.mesh_devices/deterministic, and the
-    pipeline re-registers the flag before every dispatch."""
-    if not _DETERMINISTIC[0]:
+    """`lax.optimization_barrier` when the solver-chain hardening is
+    active, identity otherwise.  Read at TRACE time — callers' traces
+    are keyed by a cfg that carries parallel.mesh_devices/
+    deterministic/det_solver, and the pipeline re-registers the flags
+    before every dispatch.  (Every det_barrier call site is in the
+    solver chain — registration/residuals + gauss_newton — so this
+    follows det_solver_active.)"""
+    if not det_solver_active():
         return tree
     return jax.lax.optimization_barrier(tree)
 

@@ -76,9 +76,9 @@ def shard_invariant_sum(x: jax.Array) -> jax.Array:
     chaotic amplification; forensics in docs/multichip.md).
 
     In the single-chip default, a plain reduce — fully fusable."""
-    from ..parallel.mesh import det_active
+    from ..parallel.mesh import det_solver_active
 
-    if not det_active():
+    if not det_solver_active():
         return jnp.sum(x, axis=0)
     n = x.shape[0]
     p = 1 << max(n - 1, 0).bit_length()
@@ -97,9 +97,9 @@ def _sq_norm(r: jax.Array) -> jax.Array:
     adds — the contraction choice was measured to DIFFER between the
     partitioned and whole-array elementwise loops on XLA:CPU (a noise
     leak into the Huber weights; docs/multichip.md)."""
-    from ..parallel.mesh import det_active
+    from ..parallel.mesh import det_solver_active
 
-    if not det_active():
+    if not det_solver_active():
         return jnp.sum(r * r, axis=-1)
     rr = lax.optimization_barrier(r * r)
     s = rr[..., 0]
@@ -126,12 +126,12 @@ def _system_from_rJ(r0: jax.Array, J: jax.Array, mask: jax.Array,
     Reductions over the residual axis use the fixed-block scheme (see
     shard_invariant_sum) so the result is independent of the axis
     sharding."""
-    from ..parallel.mesh import det_active, pin_replicated
+    from ..parallel.mesh import det_solver_active, pin_replicated
 
     s = _sq_norm(r0)
     w = jnp.where(mask, huber_weight(s, delta), 0.0)
     sw = jnp.sqrt(w)
-    if not det_active():
+    if not det_solver_active():
         # single-chip fast path: one fused einsum pair on the MXU
         rw = r0 * sw[:, None]
         Jw = J * sw[:, None, None]

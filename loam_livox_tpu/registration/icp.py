@@ -194,7 +194,13 @@ def register_frame(
             from ..parallel.mesh import det_active
 
             qt = cfg.capacity.knn_query_tile
-            exact = (jax.default_backend() != "tpu"
+            # AUTO: exact top_k everywhere except single-chip TPU —
+            # approx_min_k's GSPMD-partitioned lowering (per-shard
+            # approx + merge) drops a different ~1% candidate set than
+            # the single-device reduction, so the shard-invariance
+            # contract REQUIRES exact selection whenever the mesh /
+            # deterministic hardening is active, on any backend.
+            exact = (det_active() or jax.default_backend() != "tpu"
                      if opt.knn_exact < 0 else bool(opt.knn_exact))
             cd, ci = knn(qc, map_corners.xyz, map_corners.mask, k=corner_k,
                          precision=opt.knn_precision, query_tile=qt,

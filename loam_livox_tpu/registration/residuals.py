@@ -130,9 +130,9 @@ def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
     materialized behind a barrier, explicit add chain — no FMA
     contraction for the compiler to choose differently per layout (the
     shard-invariance contract; see gauss_newton._sq_norm)."""
-    from ..parallel.mesh import det_active
+    from ..parallel.mesh import det_solver_active
 
-    if not det_active():
+    if not det_solver_active():
         return jnp.sum(a * b, axis=-1, keepdims=True)
     from jax import lax
 

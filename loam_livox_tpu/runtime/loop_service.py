@@ -394,12 +394,20 @@ class LoopCloser:
                               time=jnp.zeros((cap,), jnp.float32),
                               mask=jnp.asarray(mask))
 
+        # init_t = 0, NOT the reference's center difference: both
+        # keyframe clouds live in the same drifted world frame, so the
+        # true misalignment is the accumulated drift (sub-meter) while
+        # the center difference is dominated by coverage asymmetry —
+        # measured seeding the aligner into phantom-correction basins
+        # that pass the accept gate and make the map WORSE (the payoff
+        # scoring that exposed it: eval/loop_payoff.py; forensics in
+        # align_keyframes' docstring).
         res = align_keyframes(
             batch(last.snap_line), batch(last.snap_plane),
             batch(his.snap_line), batch(his.snap_plane),
             jnp.asarray(last.descriptor.center),
             jnp.asarray(his.descriptor.center),
-            self.cfg)
+            self.cfg, init_t=jnp.zeros(3, jnp.float32))
         if (self.lc.map_alignment_if_dump_matching_result
                 and self.dump_dir):
             self._dump_matching_pair(last, his, res)

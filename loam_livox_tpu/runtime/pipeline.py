@@ -370,8 +370,10 @@ class OdometryPipeline:
         from ..parallel.mesh import set_active_mesh
 
         det = self.cfg.parallel.deterministic
+        dsol = self.cfg.parallel.det_solver
         set_active_mesh(self.mesh,
-                        deterministic=(None if det < 0 else bool(det)))
+                        deterministic=(None if det < 0 else bool(det)),
+                        det_solver=(None if dsol < 0 else bool(dsol)))
         n = caps.max_raw_points
         if (mask is not None and isinstance(xyz, jax.Array)
                 and xyz.shape == (n, 3)):
@@ -481,8 +483,10 @@ class OdometryPipeline:
         from ..parallel.mesh import set_active_mesh
 
         det = self.cfg.parallel.deterministic
+        dsol = self.cfg.parallel.det_solver
         set_active_mesh(self.mesh,
-                        deterministic=(None if det < 0 else bool(det)))
+                        deterministic=(None if det < 0 else bool(det)),
+                        det_solver=(None if dsol < 0 else bool(dsol)))
         guard = self.cfg.parallel.batch_motion_guard_t
         if guard > 0 and self._last_motion > guard:
             # fast motion: racing-lane staleness costs accuracy; fall
@@ -529,8 +533,10 @@ class OdometryPipeline:
         from ..parallel.mesh import set_active_mesh
 
         det = self.cfg.parallel.deterministic
+        dsol = self.cfg.parallel.det_solver
         set_active_mesh(self.mesh,
-                        deterministic=(None if det < 0 else bool(det)))
+                        deterministic=(None if det < 0 else bool(det)),
+                        det_solver=(None if dsol < 0 else bool(dsol)))
         k = len(self._batch_buf)
         pts = jnp.stack([b[0] for b in self._batch_buf])
         inten = jnp.stack([b[1] for b in self._batch_buf])

@@ -63,6 +63,12 @@ def main():
     from loam_livox_tpu.runtime.pipeline import OdometryPipeline
 
     frames = int(os.environ.get("LOOP_FRAMES", "2600"))
+    # LOOP_NOISE > the 0.01 default produces the DRIFT-regime variant
+    # (loop_drift_*.json artifacts): enough accumulated odometry error
+    # that the pose-graph payoff must be strictly positive — the regime
+    # loop closure exists for (eval/loop_payoff.payoff_verdict).
+    noise = float(os.environ.get("LOOP_NOISE", "0.01"))
+    suffix = os.environ.get("LOOP_SUFFIX", "")
     cfg = make_cfg()
     lc = cfg.loop_closure
     assert lc.scans_of_each_keyframe == 300
@@ -85,7 +91,7 @@ def main():
     traj.yaw_hz = 1 / 60.0
     traj.pitch_hz = 1 / 60.0
     sim = LivoxSimulator(SimConfig(points_per_frame=10000, seed=0,
-                                   noise_std=0.01), scene=scene, traj=traj)
+                                   noise_std=noise), scene=scene, traj=traj)
 
     pipe = OdometryPipeline(cfg)
     t0 = time.perf_counter()
@@ -122,7 +128,7 @@ def main():
                            lc.minimum_similarity_linear],
             "ratios": [lc.avail_ratio_plane, lc.avail_ratio_line],
             "inlier_accept": lc.map_alignment_inlier_threshold,
-            "noise_std_m": 0.01,
+            "noise_std_m": noise,
         },
     }
     if closer.result is not None:
@@ -145,11 +151,8 @@ def main():
              sim.gt_pose_at(times[min(int(k.ending_frame_idx),
                                       len(times) - 1)])[1]]
             for k in closer.keyframes]
-        assert (payoff["ate_kf_raw_after_loop"]
-                < payoff["ate_kf_raw_before_loop"]), payoff
-        if "revisit_nn_residual_after" in payoff:
-            assert (payoff["revisit_nn_residual_after"]
-                    < payoff["revisit_nn_residual_before"]), payoff
+        # payoff asserted AFTER the artifacts are written (a failed
+        # expectation must still leave the data on disk for forensics)
     # the decisive gate values actually measured, for the write-up
     out["gate_trace_tail"] = closer.gate_trace[-8:]
     out["gate_trace_len"] = len(closer.gate_trace)
@@ -172,17 +175,24 @@ def main():
             if v is not None:
                 setattr(rec, s, np.round(v * 1024.0) / 1024.0)
     state_path = os.path.join(os.path.dirname(__file__),
-                              "loop_unscaled_state.npz")
+                              f"loop_unscaled_state{suffix}.npz")
     save_loop_state(closer, state_path)
     trace_path = os.path.join(os.path.dirname(__file__),
-                              "loop_unscaled_trace.json")
+                              f"loop_unscaled_trace{suffix}.json")
     with open(trace_path, "w") as f:
         json.dump(closer.gate_trace, f, default=str)
     out["state_artifact"] = os.path.basename(state_path)
+    if "payoff" in out:
+        from loam_livox_tpu.eval.loop_payoff import payoff_verdict
+
+        out["payoff_verdict"] = payoff_verdict(out["payoff"])
     with open(os.path.join(os.path.dirname(__file__),
-                           "loop_unscaled_out.json"), "w") as f:
+                           f"loop_unscaled_out{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1, default=str)
     print(json.dumps(out, default=str))
+    if "payoff_verdict" in out:
+        assert out["payoff_verdict"]["ok"], (out["payoff_verdict"],
+                                             out["payoff"])
 
 
 if __name__ == "__main__":

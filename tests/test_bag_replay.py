@@ -134,10 +134,14 @@ def test_bag_replay_closes_loop_and_reduces_drift(tmp_path):
                                sim.gt_pose_at)
     assert payoff, "no payoff scored despite closure"
     assert np.isfinite(payoff["ate_kf_raw_after_loop"])
-    # the drift-reduction inequality is only meaningful when the toy
-    # capture accumulated real drift (at CPU scale the loop edge's own
-    # alignment error can exceed the few-cm odometry drift); the
-    # full-drift assertion lives in the unscaled artifact + its guard
-    if payoff["ate_kf_raw_before_loop"] > 0.05:
+    # At toy scale the few-cm odometry drift is at the loop edge's own
+    # alignment-noise floor, so the strict reduction is only asserted
+    # when real drift accumulated; at ANY scale the solve must not
+    # materially worsen the path (the wrong-basin phantom corrections
+    # the zero-init fix removed were 10×+ worsenings).  The full-drift
+    # strict assertion lives in the unscaled artifact + its guard.
+    assert (payoff["ate_kf_raw_after_loop"]
+            <= payoff["ate_kf_raw_before_loop"] + 0.02), payoff
+    if payoff["ate_kf_raw_before_loop"] > 0.15:
         assert (payoff["ate_kf_raw_after_loop"]
                 < payoff["ate_kf_raw_before_loop"]), payoff
